@@ -1,0 +1,150 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators over the `documents` table — the
+  * training-data-pipeline side of the engine. All operators are pure
+  * DataFrame/Catalyst plans (codegen-friendly, no UDFs): shingling and
+  * signatures use higher-order array functions and xxhash64.
+  *
+  * Scale design: exact dedup is a single hash aggregation; n-gram Jaccard
+  * uses cheap blocking to bound the pair space; MinHash-LSH is the 100 TB
+  * path — signature computation is embarrassingly parallel, candidate
+  * generation is a band-bucket shuffle (each doc appears `bands` times, never
+  * all-pairs), and only candidates get exact verification.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash (one shuffle on a 32-char key). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
+      .where(col("n_docs") > 1)
+
+  /** Distinct word-3-gram shingles of a text column (size-n+1 shingles; empty
+    * array for texts shorter than n tokens). */
+  def shingles(textCol: String, n: Int = 3) = {
+    val toks = split(col(textCol), " ")
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Near-duplicate pairs by exact word-3-gram Jaccard >= threshold, with
+    * prefix blocking (pairs are only compared when their first `blockChars`
+    * characters match — the synthetic corpus plants suffix-edited dups, and
+    * at scale the blocking key bounds the quadratic pair space per block). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, blockChars: Int = 40): DataFrame = {
+    val withBlock = docs
+      .select(col("doc_id"), substring(col("text"), 1, blockChars).as("block"), shingles("text").as("sh"))
+    val a = withBlock.as("a")
+    val b = withBlock.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard")
+      )
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * xxhash64(shingle, seed_i); signature_i = min over shingles. */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles("text")).as("shingle"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures split into `bands` bands of `rowsPerBand`
+    * values; docs sharing any band hash become candidates; candidates are
+    * verified with exact shingle Jaccard. Probability a pair with true
+    * Jaccard s is caught: 1 - (1 - s^r)^b. */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        hash((0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig")
+      )
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    val cand = buckets
+      .as("x")
+      .join(buckets.as("y"), Seq("band", "sig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = docs.select(col("doc_id"), shingles("text").as("sh"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+      )
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the signature is the
+    * sign of sum over tokens of ±1 according to bit b of xxhash64(token).
+    * One explode + one groupBy with 64 codegen'd conditional sums. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val withH = toks.withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = withH.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs under a Hamming-distance bound, blocked on
+    * 16-bit signature chunks (a pair within distance d <= 3 must agree on at
+    * least one of 4 chunks — pigeonhole), so no all-pairs comparison. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("v"))
+    )
+    val keyed = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
+    val popcount = (x: org.apache.spark.sql.Column) => bit_count(x)
+    keyed
+      .as("x")
+      .join(keyed.as("y"), Seq("chunk", "v"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        popcount(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
+      )
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Concept, Identifier8}
+import graft.extract.Gazetteer
+
+/** One turn of a conversation transcript (the engine's passage grain). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: Option[String],
+    ts: java.sql.Timestamp
+)
+
+/** One concept mention (span) found in one turn — the canonical precursor of
+  * both the Vespa-style concept records (flows/aggregate.py:734-750) and the
+  * MENTIONS_CONCEPT triples (flows/update_neo4j.py:738-745). The passage text
+  * is deliberately NOT carried on the mention row (the reference duplicates
+  * it per span; at 10^12 turns that multiplies shuffle width by mention
+  * count) — `surface` keeps just the matched substring and `span_id` the
+  * reference-compatible deterministic id.
+  */
+final case class Mention(
+    conv_id: String,
+    turn_idx: Int,
+    concept_id: String,
+    start: Int,
+    end: Int,
+    surface: String,
+    span_id: String
+)
+
+/** The knowledge-graph construction pipeline, Spark-first:
+  *
+  *   transcripts --(window: stable turn order)--> turns
+  *     --(broadcast gazetteer flatMap)--> mentions
+  *     --(hash aggs)--> per-turn concept arrays / per-conv concept counts
+  *     --(unions + distinct)--> (subj, pred, obj) triples
+  *     --(iterative joins)--> canonical entity components
+  *
+  * Where the reference fans out (classifier × 200-doc batch) into containers
+  * (flows/inference.py:909-1107), we fan out across partitions: ALL concepts
+  * are matched in one pass per turn via the broadcast trie, so the J1
+  * passages×classifiers cross join never materializes — it's fused into the
+  * extraction operator. Aggregations are plain groupBys (Catalyst gives
+  * partial aggregation map-side); AQE handles skewed conversations.
+  */
+object KgPipeline {
+
+  def defaultConcepts: Vector[Concept] = DemoConceptStore.concepts
+
+  /** Stable turn ordering (north rule): window over conv_id ordered by
+    * turn_idx, BEFORE extraction, so per-turn text equality vs the reference
+    * holds. turn_seq is the dense 0-based position of the turn within its
+    * conversation (the reference's positional passage order,
+    * flows/inference.py:782-798). */
+  def orderedTurns(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts.withColumn("turn_seq", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Extraction-eligible turns: drop role='tool' (blocked block types,
+    * inference.py:80-84) and blank text (no-op documents,
+    * inference.py:714-735). */
+  def eligibleTurns(transcripts: DataFrame): DataFrame =
+    orderedTurns(transcripts)
+      .where(col("role") =!= "tool" && length(trim(col("text"))) > 0)
+
+  /** Gazetteer mention extraction: one broadcast trie pass per turn over all
+    * concepts (C1 semantics for every concept at once). Typed flatMap — the
+    * one genuinely imperative operator in the pipeline; everything else stays
+    * in Catalyst expressions. */
+  def extractMentions(spark: SparkSession, turns: DataFrame, concepts: Vector[Concept]): Dataset[Mention] = {
+    import spark.implicits._
+    val gaz = new Gazetteer(concepts)
+    val bc = spark.sparkContext.broadcast(gaz)
+    val slim = turns.select(
+      col("conv_id"),
+      col("turn_idx").cast("int").as("turn_idx"),
+      col("text")
+    )
+    slim.as[(String, Int, String)].flatMap { case (convId, turnIdx, text) =>
+      val g = bc.value
+      val all = g.findAll(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+      var ci = 0
+      while (ci < all.length) {
+        val conceptId = g.concepts(ci).wikibaseId
+        all(ci).foreach { s =>
+          out += Mention(
+            conv_id = convId,
+            turn_idx = turnIdx,
+            concept_id = conceptId,
+            start = s.start,
+            end = s.end,
+            surface = text.substring(s.start, s.end),
+            span_id = Identifier8.spanId(text, s.start, s.end, conceptId)
+          )
+        }
+        ci += 1
+      }
+      out
+    }
+  }
+
+  def mentions(spark: SparkSession, sfDir: String, concepts: Vector[Concept] = defaultConcepts): Dataset[Mention] =
+    extractMentions(spark, eligibleTurns(Transcripts.read(spark, sfDir)), concepts)
+
+  /** Per-(conversation, concept) mention counts. */
+  def mentionCounts(m: DataFrame): DataFrame =
+    m.groupBy("conv_id", "concept_id")
+      .agg(count(lit(1)).as("n_mentions"))
+
+  /** G2/G1: the Vespa-concept aggregation at count grain — per turn and
+    * concept: name, parent ids (comma-joined + trailing comma,
+    * aggregate.py:628-631), model string (aggregate.py:103-110), mention
+    * count. The concept dimension is a broadcast join. */
+  def vespaConcepts(spark: SparkSession, m: DataFrame, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
+    import spark.implicits._
+    val dim = concepts
+      .map(c => (c.wikibaseId, c.preferredLabel, c.parentConceptIdsFlat, DemoConceptStore.modelString(c)))
+      .toDF("concept_id", "name", "parent_concept_ids_flat", "model")
+    m.groupBy("conv_id", "turn_idx", "concept_id")
+      .agg(count(lit(1)).as("n_mentions"))
+      .join(broadcast(dim), Seq("concept_id"))
+      .select("conv_id", "turn_idx", "concept_id", "name", "parent_concept_ids_flat", "model", "n_mentions")
+  }
+
+  /** G3 concept counts per document: key "{wikibase_id}:{name}" -> count
+    * (flows/index.py:632-637). */
+  def conceptCounts(spark: SparkSession, m: DataFrame, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
+    import spark.implicits._
+    val dim = concepts.map(c => (c.wikibaseId, c.preferredLabel)).toDF("concept_id", "name")
+    m.join(broadcast(dim), Seq("concept_id"))
+      .groupBy(col("conv_id"), concat(col("concept_id"), lit(":"), col("name")).as("concept_key"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The graph layer: distinct (subj, pred, obj) triples
+    * (flows/update_neo4j.py:249-333, :436-450; FIXTURES.md §6):
+    *   (conv_id,  HAS_PASSAGE,      conv_id_turnIdx)   one per eligible turn
+    *   (passage,  MENTIONS_CONCEPT, wikibase_id)       distinct per mention
+    *   (child,    SUBCONCEPT_OF,    parent)            from the concept store
+    *   (concept,  RELATED_TO,       related)           from the concept store
+    * Distinct = Cypher MERGE upsert semantics. */
+  def triples(spark: SparkSession, sfDir: String, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
+    import spark.implicits._
+    val turns = eligibleTurns(Transcripts.read(spark, sfDir))
+    val m = extractMentions(spark, turns, concepts).toDF()
+    triplesFrom(spark, turns, m, concepts)
+  }
+
+  def triplesFrom(spark: SparkSession, turns: DataFrame, m: DataFrame, concepts: Vector[Concept]): DataFrame = {
+    import spark.implicits._
+    val passageId = concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"))
+    val hasPassage = turns.select(
+      col("conv_id").as("subj"),
+      lit("HAS_PASSAGE").as("pred"),
+      passageId.as("obj")
+    )
+    val mentionsEdges = m
+      .select(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj"))
+      .distinct()
+    val conceptEdges = DemoConceptStore.conceptEdges
+      .filter { case (s, _, o) =>
+        val ids = concepts.map(_.wikibaseId).toSet; ids(s) && ids(o)
+      }
+      .toDF("subj", "pred", "obj")
+    hasPassage.union(mentionsEdges).union(conceptEdges).distinct()
+  }
+
+  /** Concept co-occurrence: unordered concept pairs mentioned within the same
+    * conversation, weighted by conversation count — the corpus-level graph
+    * signal used for canonicalization and skew analysis. */
+  def cooccurrence(m: DataFrame): DataFrame = {
+    val perConv = m.select("conv_id", "concept_id").distinct()
+    val a = perConv.as("a")
+    val b = perConv.as("b")
+    a.join(b, col("a.conv_id") === col("b.conv_id") && col("a.concept_id") < col("b.concept_id"))
+      .groupBy(col("a.concept_id").as("concept_a"), col("b.concept_id").as("concept_b"))
+      .agg(count(lit(1)).as("n_convs"))
+  }
+
+  /** J7 entity canonicalization: connected components over the
+    * surface-label <-> concept dictionary edges plus concept-concept edges,
+    * giving each mention surface / concept a canonical component id. Runs the
+    * distributed iterative-join CC (skew handled by AQE on the join keys);
+    * the component id is the lexicographically minimal node id. */
+  def canonicalEntities(spark: SparkSession, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
+    import spark.implicits._
+    val ids = concepts.map(_.wikibaseId).toSet
+    val conceptPairs = DemoConceptStore.conceptEdges
+      .filter { case (s, _, o) => ids(s) && ids(o) }
+      .map { case (s, _, o) => (s, o) }
+    val surfacePairs = DemoConceptStore.surfaceEdges.filter { case (_, c) => ids(c) }
+    val edges = (conceptPairs ++ surfacePairs).toDF("src", "dst")
+    ConnectedComponents.run(spark, edges)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.kg
+
+import graft.core.Concept
+import graft.extract.KeywordMatcher
+
+/** Generates the DuckDB oracle SQL for the KG queries FROM THE SAME concept
+  * store the engine runs, so engine and oracle can never drift apart on label
+  * data. The oracle is intentionally a completely different evaluation
+  * strategy (RE2 regexes in SQL vs the broadcast trie), making the
+  * correctness gate a real cross-check.
+  *
+  * Dialect notes (verified against DuckDB 1.0 / RE2):
+  *  - RE2 has no lookbehind, so the engine's `(?<!\w)...(?!\w)` boundaries
+  *    become `\b...\b`. Equivalent here: every label starts/ends with a word
+  *    char and the corpus is ASCII (RE2's \b is ASCII, Python's \w Unicode —
+  *    identical on ASCII text).
+  *  - \Q...\E quoting and the separator class [\s\-–—]+ parse identically.
+  *  - case-sensitive labels in the store never match the all-lowercase
+  *    corpus, so count oracles need only the case-insensitive pattern with
+  *    (?i).
+  *  - negative-label counts subtract: valid because every negative match in
+  *    this store overlaps exactly one positive match (see DemoConceptStore).
+  */
+object OracleGen {
+
+  /** Shared WITH prologue deriving transcripts/turns from documents —
+    * the SQL twin of Transcripts.fromDocuments + KgPipeline.eligibleTurns. */
+  val transcriptsCte: String =
+    s"""transcripts AS (
+       |  SELECT source || '.conv.' || CAST(doc_id % ${Transcripts.ConvBuckets} AS VARCHAR) AS conv_id,
+       |         CAST(doc_id // ${Transcripts.ConvBuckets} AS INT) AS turn_idx,
+       |         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'user' ELSE 'tool' END AS role,
+       |         text,
+       |         CASE WHEN CAST(doc_id % 4 AS INT) = 3 THEN 'search' ELSE NULL END AS tool,
+       |         CAST(${Transcripts.EpochStart} + doc_id * 60 AS BIGINT) AS ts_epoch
+       |  FROM documents WHERE lang = 'en')""".stripMargin
+
+  val turnsCte: String =
+    "turns AS (SELECT * FROM transcripts WHERE role <> 'tool' AND length(trim(text)) > 0)"
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** Case-insensitive positive pattern in RE2 dialect. */
+  def ciPattern(labels: Seq[String]): Option[String] = {
+    val (_, ci) = KeywordMatcher.splitByCaseHandling(labels)
+    if (ci.isEmpty) None
+    else Some("(?i)\\b(?:" + ci.map(KeywordMatcher.separatorFlexible).mkString("|") + ")\\b")
+  }
+
+  /** SQL expression: number of engine mentions of `c` in column `text`. */
+  def mentionCountExpr(c: Concept): String = {
+    val pos = ciPattern(c.allLabels)
+      .getOrElse(sys.error(s"concept ${c.wikibaseId} has no case-insensitive labels for the oracle"))
+    val posExpr = s"len(regexp_extract_all(text, '${sq(pos)}'))"
+    ciPattern(c.negativeLabels) match {
+      case None      => posExpr
+      case Some(neg) => s"($posExpr - len(regexp_extract_all(text, '${sq(neg)}')))"
+    }
+  }
+
+  def concepts: Vector[Concept] = DemoConceptStore.concepts
+
+  /** Per-(conv, turn, concept) mention counts > 0, as a union of one SELECT
+    * per concept (generated — each concept gets its own regex). */
+  def perTurnCountsSql: String =
+    concepts
+      .map { c =>
+        s"""SELECT conv_id, turn_idx, '${c.wikibaseId}' AS concept_id, ${mentionCountExpr(c)} AS n_mentions FROM turns"""
+      }
+      .mkString("\nUNION ALL\n")
+
+  val mentionCountsSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |)
+       |SELECT conv_id, concept_id, CAST(SUM(n_mentions) AS BIGINT) AS n_mentions
+       |FROM per_turn WHERE n_mentions > 0 GROUP BY conv_id, concept_id""".stripMargin
+
+  val vespaConceptsSql: String = {
+    val dims = concepts
+      .map(c =>
+        s"('${c.wikibaseId}', '${sq(c.preferredLabel)}', '${sq(c.parentConceptIdsFlat)}', '${sq(DemoConceptStore.modelString(c))}')"
+      )
+      .mkString(",\n    ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |dim(concept_id, name, parent_concept_ids_flat, model) AS (
+       |  SELECT * FROM (VALUES
+       |    $dims))
+       |SELECT p.conv_id, p.turn_idx, p.concept_id, d.name, d.parent_concept_ids_flat, d.model,
+       |       CAST(p.n_mentions AS BIGINT) AS n_mentions
+       |FROM per_turn p JOIN dim d ON p.concept_id = d.concept_id
+       |WHERE p.n_mentions > 0""".stripMargin
+  }
+
+  val conceptCountsSql: String = {
+    val names = concepts.map(c => s"('${c.wikibaseId}', '${sq(c.preferredLabel)}')").mkString(", ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |dim(concept_id, name) AS (SELECT * FROM (VALUES $names))
+       |SELECT p.conv_id, p.concept_id || ':' || d.name AS concept_key, CAST(SUM(p.n_mentions) AS BIGINT) AS n
+       |FROM per_turn p JOIN dim d ON p.concept_id = d.concept_id
+       |WHERE p.n_mentions > 0 GROUP BY 1, 2""".stripMargin
+  }
+
+  val triplesSql: String = {
+    val edgeValues = DemoConceptStore.conceptEdges
+      .map { case (s, p, o) => s"('$s', '$p', '$o')" }
+      .mkString(", ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |)
+       |SELECT conv_id AS subj, 'HAS_PASSAGE' AS pred, conv_id || '_' || CAST(turn_idx AS VARCHAR) AS obj FROM turns
+       |UNION
+       |SELECT conv_id || '_' || CAST(turn_idx AS VARCHAR) AS subj, 'MENTIONS_CONCEPT' AS pred, concept_id AS obj
+       |FROM per_turn WHERE n_mentions > 0
+       |UNION
+       |SELECT subj, pred, obj FROM (VALUES $edgeValues) e(subj, pred, obj)""".stripMargin
+  }
+
+  val cooccurrenceSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0)
+       |SELECT a.concept_id AS concept_a, b.concept_id AS concept_b, CAST(COUNT(*) AS BIGINT) AS n_convs
+       |FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |GROUP BY 1, 2""".stripMargin
+
+  val canonicalSql: String = {
+    val ids = concepts.map(_.wikibaseId).toSet
+    val pairs =
+      DemoConceptStore.conceptEdges.collect { case (s, _, o) if ids(s) && ids(o) => (s, o) } ++
+        DemoConceptStore.surfaceEdges.filter { case (_, c) => ids(c) }
+    val values = pairs.map { case (s, d) => s"('${sq(s)}', '${sq(d)}')" }.mkString(", ")
+    s"""WITH RECURSIVE e(src, dst) AS (SELECT * FROM (VALUES $values)),
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r)
+       |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin
+  }
+
+  val lineageSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |m AS (SELECT conv_id, SUM(CASE WHEN n_mentions > 0 THEN n_mentions ELSE 0 END) AS n FROM per_turn GROUP BY conv_id),
+       |t AS (SELECT conv_id, COUNT(*) AS n_turns FROM turns GROUP BY conv_id)
+       |SELECT CAST(CAST(regexp_extract(t.conv_id, '([0-9]+)$$', 1) AS INT) % 32 AS INT) AS bucket,
+       |       CAST(SUM(t.n_turns) AS BIGINT) AS n_turns,
+       |       CAST(SUM(COALESCE(m.n, 0)) AS BIGINT) AS n_mentions
+       |FROM t LEFT JOIN m ON t.conv_id = m.conv_id
+       |GROUP BY 1""".stripMargin
+
+  val transcriptsSql: String =
+    s"WITH $transcriptsCte SELECT conv_id, turn_idx, role, text, tool, ts_epoch FROM transcripts"
+
+  val turnsOrderedSql: String =
+    s"""WITH $transcriptsCte
+       |SELECT conv_id, turn_idx,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_seq,
+       |       text
+       |FROM transcripts""".stripMargin
+}
