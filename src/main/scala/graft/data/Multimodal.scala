@@ -76,16 +76,22 @@ object Multimodal {
   /** Frame sampling contract for video-shaped payloads: split a payload into
     * fixed-size "frames" and keep every `stride`-th — pure column plan. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
-    media.select(
-      col("doc_id"),
-      posexplode(
-        filter(
-          transform(
-            sequence(lit(0), (length(col("payload")) / frameBytes).cast("int") - 1),
-            i => substring(col("payload"), i * frameBytes + 1, lit(frameBytes))
-          ),
-          (_, i) => i % stride === 0
-        )
-      ).as(Seq("frame_idx", "frame"))
-    )
+    media
+      .select(
+        col("doc_id"),
+        explode(
+          filter(
+            transform(
+              sequence(lit(0), (length(col("payload")) / frameBytes).cast("int") - 1),
+              i =>
+                struct(
+                  i.as("frame_idx"),
+                  substring(col("payload"), i * frameBytes + 1, lit(frameBytes)).as("frame")
+                )
+            ),
+            s => s.getField("frame_idx") % stride === 0
+          )
+        ).as("f")
+      )
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"), col("f.frame").as("frame"))
 }

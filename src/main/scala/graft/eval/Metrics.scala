@@ -1,0 +1,124 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{SpanAlgebra, TextSpan}
+
+/** Confusion matrix + derived metrics, mirroring
+  * /root/reference/knowledge_graph/metrics.py:7-95. */
+final case class ConfusionMatrix(tp: Long = 0, fp: Long = 0, tn: Long = 0, fn: Long = 0) {
+  def support: Long = tp + fp + tn + fn
+  def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+  def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+  def accuracy: Double = if (support == 0) 0.0 else (tp + tn).toDouble / support
+  def f1: Double = fBeta(1.0)
+  def fBeta(beta: Double): Double = {
+    if (tp == 0) return 0.0
+    require(beta >= 0 && beta <= 1, "beta must be between 0 and 1")
+    val p = precision
+    val r = recall
+    if (p == 0 && r == 0) 0.0
+    else {
+      val b2 = beta * beta
+      (1 + b2) * p * r / (b2 * p + r)
+    }
+  }
+  def cohensKappa: Double = {
+    val total = support
+    if (total == 0) return 0.0
+    val observed = (tp + tn).toDouble / total
+    val expected =
+      ((tp + fp).toDouble * (tp + fn) + (fp + tn).toDouble * (fn + tn)) / (total.toDouble * total)
+    if (expected == 1.0) 0.0 else (observed - expected) / (1 - expected)
+  }
+  def +(other: ConfusionMatrix): ConfusionMatrix =
+    ConfusionMatrix(tp + other.tp, fp + other.fp, tn + other.tn, fn + other.fn)
+}
+
+/** The evaluation harness (G6): span- and passage-level precision/recall vs
+  * gold standards — the P/R >= 0.95 gate of the north rule. Local pure
+  * versions mirror /root/reference/knowledge_graph/metrics.py:98-186; the
+  * DataFrame version computes the same counts distributed (join on passage
+  * id + per-row span matching, then one global sum). */
+object Metrics {
+
+  /** metrics.py:98-142 — passages zipped positionally; TP per gold span with
+    * some predicted span over the jaccard threshold; FP per predicted span
+    * with no gold match; both-empty passage => TN. */
+  def countSpanLevel(
+      gold: Seq[Seq[TextSpan]],
+      predicted: Seq[Seq[TextSpan]],
+      threshold: Double = 0.9
+  ): ConfusionMatrix = {
+    require(gold.length == predicted.length, "gold and predicted passage lists must align")
+    var cm = ConfusionMatrix()
+    gold.lazyZip(predicted).foreach { (g, p) =>
+      if (g.isEmpty && p.isEmpty) cm = cm.copy(tn = cm.tn + 1)
+      else {
+        g.foreach { gs =>
+          if (p.exists(ps => SpanAlgebra.jaccard(gs, ps) > threshold)) cm = cm.copy(tp = cm.tp + 1)
+          else cm = cm.copy(fn = cm.fn + 1)
+        }
+        p.foreach { ps =>
+          if (!g.exists(gs => SpanAlgebra.jaccard(ps, gs) > threshold)) cm = cm.copy(fp = cm.fp + 1)
+        }
+      }
+    }
+    cm
+  }
+
+  /** metrics.py:145-186 — set operations on positive/negative passage ids. */
+  def countPassageLevel(
+      goldByPassage: Map[String, Seq[TextSpan]],
+      predictedByPassage: Map[String, Seq[TextSpan]]
+  ): ConfusionMatrix = {
+    val goldPos = goldByPassage.collect { case (id, s) if s.nonEmpty => id }.toSet
+    val goldNeg = goldByPassage.keySet -- goldPos
+    val predPos = predictedByPassage.collect { case (id, s) if s.nonEmpty => id }.toSet
+    val predNeg = predictedByPassage.keySet -- predPos
+    ConfusionMatrix(
+      tp = (goldPos & predPos).size,
+      fp = (predPos -- goldPos).size,
+      tn = (goldNeg & predNeg).size,
+      fn = (goldPos -- predPos).size
+    )
+  }
+
+  /** Distributed span-level confusion counts. Inputs: (passage_id,
+    * spans array<struct<start int, end int>>) for gold and predictions; the
+    * join is an equi-join on passage id (safer than the reference's
+    * positional zip, J6) and the per-row matching is a pure column plan. */
+  def spanLevelDF(gold: DataFrame, predicted: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val j = gold
+      .withColumnRenamed("spans", "g")
+      .join(predicted.withColumnRenamed("spans", "p"), Seq("passage_id"), "full")
+      .withColumn("g", coalesce(col("g"), array()))
+      .withColumn("p", coalesce(col("p"), array()))
+
+    def jac(a: Column, b: Column): Column = {
+      val inter = greatest(
+        lit(0),
+        least(a.getField("end"), b.getField("end")) - greatest(a.getField("start"), b.getField("start"))
+      )
+      val union = greatest(a.getField("end"), b.getField("end")) -
+        least(a.getField("start"), b.getField("start"))
+      inter.cast("double") / union
+    }
+
+    j.select(
+      when(size(col("g")) === 0 && size(col("p")) === 0, 1L).otherwise(0L).as("tn"),
+      size(filter(col("g"), gs => exists(col("p"), ps => jac(gs, ps) > threshold))).cast("long").as("tp"),
+      size(filter(col("g"), gs => !exists(col("p"), ps => jac(gs, ps) > threshold))).cast("long")
+        .as("fn_raw"),
+      size(filter(col("p"), ps => !exists(col("g"), gs => jac(ps, gs) > threshold))).cast("long")
+        .as("fp_raw"),
+      (size(col("g")) === 0 && size(col("p")) === 0).as("both_empty")
+    ).select(
+      sum("tp").as("tp"),
+      sum(when(col("both_empty"), 0L).otherwise(col("fp_raw"))).as("fp"),
+      sum("tn").as("tn"),
+      sum(when(col("both_empty"), 0L).otherwise(col("fn_raw"))).as("fn")
+    )
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data operators: LSH recall vs exact, simhash sanity, ANN recall
+  * vs brute force, multimodal plumbing, language id. */
+class DataOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = TestSpark.sf0001
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH finds high-jaccard pairs: recall >= 0.9 vs exact at tau=0.7") {
+    // ground truth: ALL pairs (no blocking) with 3-gram jaccard >= 0.7
+    val sh = docs.select($"doc_id", Dedup.shingles("text").as("sh"))
+    val truth = sh
+      .as("a")
+      .join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select(
+        $"a.doc_id".as("doc_a"),
+        $"b.doc_id".as("doc_b"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("j")
+      )
+      .where($"j" >= 0.7)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-duplicates")
+
+    val lsh = Dedup
+      .minhashPairs(docs, threshold = 0.7, bands = 8, rowsPerBand = 4)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (truth & lsh).size.toDouble / truth.size
+    info(s"LSH recall=${recall} (${(truth & lsh).size}/${truth.size} pairs)")
+    assert(recall >= 0.9)
+    // precision is 1.0 by construction (candidates verified with exact jaccard)
+    assert(lsh.forall { case (a, b) => a < b })
+  }
+
+  test("simhash: near-dup pairs have close signatures; planted dups found") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+    assert(pairs.nonEmpty)
+    // every simhash pair should share substantial n-gram similarity
+    val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { r =>
+      val h = java.lang.Long.bitCount(sigs(r.getLong(0)) ^ sigs(r.getLong(1)))
+      assert(h <= 10)
+    }
+  }
+
+  test("IVF ANN recall vs brute-force top-10 >= 0.7") {
+    val exact = Similarity
+      .bruteForceTopK(emb, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val ann = Similarity
+      .ivfTopK(emb, nQueries = 20, k = 10, nCells = 16, nProbe = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"IVF recall=$recall with nProbe=6/16 cells")
+    assert(recall >= 0.7)
+  }
+
+  test("multimodal: stub decode features consistent with payload") {
+    val feats = Multimodal.features(spark, Multimodal.mediaTable(docs)).collect()
+    assert(feats.length == docs.count())
+    // ascii corpus: byte length == char length; modal byte is the space char
+    val chars = docs.select($"doc_id", $"n_chars").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.foreach { f =>
+      assert(f.n_bytes == chars(f.doc_id))
+      assert(f.byte_histogram_peak == ' '.toInt || f.n_bytes < 2)
+      assert(f.thumb_width >= 1 && f.thumb_height >= 1)
+    }
+  }
+
+  test("frame sampling: every stride-th fixed-size frame, offsets correct") {
+    val media = Seq((1L, ("ab" * 200).getBytes("UTF-8"), "fake/raw", 10, 10))
+      .toDF("doc_id", "payload", "format", "width", "height")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4).collect()
+    // 400 bytes -> 6 full frames (idx 0..5), strided -> idx 0 and 4
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 4))
+  }
+
+  test("language id picks declared language on distinctive stopword text") {
+    val sample = Seq(
+      (1L, "the cat and the dog is on the mat with food", "en"),
+      (2L, "der Hund und die Katze ist mit dem Ball", "de"),
+      (3L, "le chat et la souris est avec les enfants", "fr"),
+      (4L, "el perro y la casa es con los amigos", "es")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(sample).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("quality features: exact on a known sentence") {
+    val d = Seq((1L, "the big cat, and a dog!", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.quality(d).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Double]("stopword_ratio") == 3.0 / 6) // the, and, a
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 23) // , !
+  }
+}

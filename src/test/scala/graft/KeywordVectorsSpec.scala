@@ -1,0 +1,92 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Concept
+import graft.extract.{Gazetteer, KeywordMatcher}
+
+/** Differential tests against the ACTUAL reference KeywordClassifier:
+  * src/test/resources/keyword_vectors.json was produced by running
+  * /root/reference/knowledge_graph/classifier/keyword.py (via
+  * tools/ref_oracle.py) over 16 concepts × 172 texts covering case
+  * sensitivity, unicode labels, separator variants, negative labels, word
+  * boundaries and overlap merging. Expected values include the reference's
+  * deterministic span ids, so this also locks Identifier8 to the real
+  * pydantic implementation.
+  */
+class KeywordVectorsSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private val root = mapper.readTree(getClass.getResourceAsStream("/keyword_vectors.json"))
+
+  private case class Case(
+      concept: Concept,
+      texts: Vector[String],
+      expected: Vector[Vector[(Int, Int, String)]]
+  )
+
+  private val cases: Vector[Case] = root.asScala.toVector.map { c =>
+    def strs(field: String): Vector[String] =
+      Option(c.get(field)).map(_.asScala.toVector.map(_.asText())).getOrElse(Vector.empty)
+    Case(
+      concept = Concept.normalized(
+        wikibaseId = c.get("wikibase_id").asText(),
+        preferredLabel = c.get("preferred_label").asText(),
+        alternativeLabels = strs("alternative_labels"),
+        negativeLabels = strs("negative_labels")
+      ),
+      texts = strs("texts"),
+      expected = c.get("expected").asScala.toVector.map { spans =>
+        spans.asScala.toVector.map(s => (s.get("start").asInt(), s.get("end").asInt(), s.get("id").asText()))
+      }
+    )
+  }
+
+  test("vectors loaded") {
+    assert(cases.length >= 10)
+    assert(cases.map(_.texts.length).sum >= 100)
+  }
+
+  for ((c, ci) <- cases.zipWithIndex) {
+    test(s"case $ci '${c.concept.preferredLabel}' matches reference spans and ids") {
+      val m = new KeywordMatcher(c.concept)
+      c.texts.lazyZip(c.expected).foreach { (text, want) =>
+        val got = m.findSpans(text).map(s => (s.start, s.end, s.idFor(text)))
+        assert(got == want, s"text=<$text>")
+      }
+    }
+  }
+
+  test("single-concept gazetteer emits identical spans to KeywordMatcher on all vectors") {
+    cases.foreach { c =>
+      val g = new Gazetteer(Vector(c.concept))
+      val m = new KeywordMatcher(c.concept)
+      c.texts.foreach { text =>
+        assert(
+          g.findAll(text)(0) == m.findSpans(text),
+          s"concept=${c.concept.preferredLabel} text=<$text>"
+        )
+      }
+    }
+  }
+
+  test("combined multi-concept gazetteer == per-concept matchers on every vector text") {
+    // distinct wikibase ids so concepts don't collide in one trie
+    val concepts = cases.zipWithIndex.map { case (c, i) => c.concept.copy(wikibaseId = s"Q${900 + i}") }
+    val g = new Gazetteer(concepts)
+    val matchers = concepts.map(new KeywordMatcher(_))
+    val texts = cases.flatMap(_.texts).distinct
+    texts.foreach { text =>
+      val all = g.findAll(text)
+      concepts.indices.foreach { i =>
+        assert(
+          all(i) == matchers(i).findSpans(text),
+          s"concept=${concepts(i).preferredLabel} text=<$text>"
+        )
+      }
+    }
+  }
+}
