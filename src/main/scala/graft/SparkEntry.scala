@@ -94,6 +94,67 @@ object SparkEntry {
       Multimodal
         .sampleFrames(Multimodal.mediaTable(docs(s, dir)))
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))),
+    // ---- document-selection filters / ensemble / strata ----------------------
+    "f_source_filter" -> ((s, dir) =>
+      Transcripts
+        .read(s, dir)
+        .where(graft.kg.Filters.sourceAllowed(col("conv_id"), Seq("src3", "src7")) &&
+          graft.kg.Filters.notPlaceholder(col("conv_id")))
+        .groupBy(split(col("conv_id"), "\\.").getItem(0).as("source"))
+        .agg(count(lit(1)).as("n_turns"))),
+    "f_prefer_translated" -> ((s, dir) => {
+      // stems: every doc has a base stem, every third also a translated one
+      val d = docs(s, dir)
+      val base = d.select(concat(col("source"), lit(".doc."), col("doc_id")).as("stem"))
+      val translated = d
+        .where(col("doc_id") % 3 === 0)
+        .select(concat(col("source"), lit(".doc."), col("doc_id"), lit("_translated_en")).as("stem"))
+      graft.kg.Filters.preferTranslated(base.union(translated))
+    }),
+    "f8_exclude_training" -> ((s, dir) =>
+      graft.kg.Filters
+        .excludeTrainingTexts(docs(s, dir), docs(s, dir).where(col("doc_id") % 10 === 0))
+        .select("doc_id")),
+    "g7_ensemble" -> ((s, dir) => {
+      // deterministic synthetic ensemble: 3 classifiers vote per document
+      val d = docs(s, dir)
+      val preds = (0 until 3)
+        .map(c =>
+          d.select(
+            col("doc_id").as("passage_id"),
+            lit(s"clf_$c").as("classifier_id"),
+            ((col("doc_id") + c) % (c + 2) === 0).as("positive"),
+            (((col("doc_id") * 7 + c * 13) % 100).cast("double") / 100).as("probability")
+          ))
+        .reduce(_ union _)
+      graft.eval.Ensemble
+        .passageStats(preds)
+        .select(
+          col("passage_id"),
+          col("positive_ratio"),
+          col("disagreement"),
+          col("majority_vote"),
+          round(col("prob_stdev"), 6).as("prob_stdev_r"),
+          col("n_classifiers")
+        )
+    }),
+    "g8_strata" -> ((s, dir) =>
+      graft.eval.Ensemble.equityStrata(docs(s, dir), Seq("lang", "source"))(
+        _.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      )),
+    "c2_embedding" -> ((s, dir) => {
+      val passages = emb(s, dir)
+        .select(col("vec_id").as("passage_id"), lit(64).as("text_len"), col("embedding"))
+      val conceptVec = emb(s, dir)
+        .where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0)
+        .getSeq[Double](0)
+        .toArray
+      graft.extract.EmbeddingClassifier
+        .predict(passages, "Q15", conceptVec, threshold = 0.4)
+        .select("passage_id", "start", "end", "concept_id", "probability")
+    }),
     // ---- relational coverage -------------------------------------------------
     "q1_agg" -> ((s, dir) =>
       s.read
@@ -207,6 +268,55 @@ object SparkEntry {
         |       CAST(greatest(1, (n_chars % 640 + 1) // 4) AS INT) AS thumb_width,
         |       CAST(greatest(1, (n_chars % 480 + 1) // 4) AS INT) AS thumb_height
         |FROM documents""".stripMargin,
+    "f_source_filter" ->
+      s"""WITH ${OracleGen.transcriptsCte}
+        |SELECT string_split(conv_id, '.')[1] AS source, COUNT(*) AS n_turns
+        |FROM transcripts
+        |WHERE lower(string_split(conv_id, '.')[1]) NOT IN ('src3', 'src7')
+        |  AND NOT (lower(conv_id) LIKE 'sabin%' AND lower(conv_id) LIKE '%placeholder')
+        |GROUP BY 1""".stripMargin,
+    "f_prefer_translated" ->
+      """WITH base AS (
+        |  SELECT source || '.doc.' || CAST(doc_id AS VARCHAR) AS stem FROM documents
+        |  UNION ALL
+        |  SELECT source || '.doc.' || CAST(doc_id AS VARCHAR) || '_translated_en' FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT stem, ROW_NUMBER() OVER (
+        |        PARTITION BY regexp_replace(stem, '_translated_[a-z]{2}$', '')
+        |        ORDER BY CASE WHEN regexp_matches(stem, '_translated_[a-z]{2}$') THEN 1 ELSE 0 END DESC, stem ASC) AS rn
+        |      FROM base)
+        |SELECT stem FROM r WHERE rn = 1""".stripMargin,
+    "f8_exclude_training" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+    "g7_ensemble" ->
+      """WITH preds AS (
+        |  SELECT doc_id AS passage_id, (doc_id + 0) % 2 = 0 AS positive, CAST((doc_id*7 + 0) % 100 AS DOUBLE)/100 AS probability FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 1) % 3 = 0, CAST((doc_id*7 + 13) % 100 AS DOUBLE)/100 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % 4 = 0, CAST((doc_id*7 + 26) % 100 AS DOUBLE)/100 FROM documents)
+        |SELECT passage_id,
+        |  CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS positive_ratio,
+        |  2.0 * LEAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END), COUNT(*) - SUM(CASE WHEN positive THEN 1 ELSE 0 END)) / COUNT(*) AS disagreement,
+        |  CASE WHEN 2*SUM(CASE WHEN positive THEN 1 ELSE 0 END) = COUNT(*) THEN 0.5
+        |       WHEN 2*SUM(CASE WHEN positive THEN 1 ELSE 0 END) > COUNT(*) THEN 1.0 ELSE 0.0 END AS majority_vote,
+        |  ROUND(COALESCE(stddev_samp(probability), 0.0), 6) AS prob_stdev_r,
+        |  COUNT(*) AS n_classifiers
+        |FROM preds GROUP BY passage_id""".stripMargin,
+    "g8_strata" ->
+      """SELECT 'all' AS stratum, 'all' AS stratum_value, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+        |UNION ALL
+        |SELECT 'lang', COALESCE(CAST(lang AS VARCHAR), 'None'), COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM documents GROUP BY 2
+        |UNION ALL
+        |SELECT 'source', COALESCE(source, 'None'), COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM documents GROUP BY 2""".stripMargin,
+    "c2_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT e AS ce FROM v WHERE vec_id = 0),
+        |s AS (SELECT vec_id AS passage_id,
+        |             list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS probability
+        |      FROM v, c)
+        |SELECT passage_id, 0 AS start, 64 AS "end", 'Q15' AS concept_id, probability
+        |FROM s WHERE probability >= 0.4""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

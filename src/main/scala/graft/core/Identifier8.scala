@@ -27,9 +27,16 @@ object Identifier8 {
     ofString(joined)
   }
 
+  // one digest instance per executor thread: MessageDigest.getInstance on
+  // every call costs more than the hash itself at 10^8-mention scale
+  private val digestTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
   /** Hash a pre-concatenated string (hot path: avoids varargs boxing). */
   def ofString(joined: String): String = {
-    val digest = MessageDigest.getInstance("SHA-256").digest(joined.getBytes("UTF-8"))
+    val md = digestTL.get()
+    md.reset()
+    val digest = md.digest(joined.getBytes("UTF-8"))
     val sb = new java.lang.StringBuilder(8)
     var i = 0
     while (i < 8) {

@@ -2,31 +2,31 @@ package graft.extract
 
 import graft.core.{Concept, SpanAlgebra, TextSpan}
 
-/** Multi-concept gazetteer: one shared token-trie pass over each passage
+/** Multi-concept gazetteer: one shared character-trie pass over each passage
   * instead of C regex scans for C concepts.
   *
   * Scale rationale: the reference runs one compiled regex set per concept per
   * passage (/root/reference/knowledge_graph/classifier/keyword.py:174-222),
   * i.e. O(concepts × text). At 10^12 turns × thousands of concepts that is
-  * the dominant cost, so the gazetteer tokenizes each passage ONCE and walks
-  * an Aho-Corasick-style token trie built over all concepts' labels,
-  * O(tokens × max-label-words + matches). This is the "gazetteer/trie-based
-  * concept mention detection" stage the pipeline centres on.
+  * the dominant cost, so the gazetteer scans each passage ONCE, walking a
+  * character-level trie built over all concepts' labels — O(text ×
+  * max-label-length), independent of concept count, and allocation-free in
+  * the no-match hot path (allocation rate, not arithmetic, is what limits
+  * single-node scaling of this operator).
   *
-  * Exactness: for case-insensitive labels whose separator-split parts are
-  * pure ASCII word characters (the overwhelming majority — case-insensitive
-  * labels are pure-ASCII-lowercase by construction, keyword.py:141-148), the
-  * trie provably emits the same spans as the compiled alternation:
-  *   - parts are \w-only, so a regex match can only start/end at token
-  *     boundaries and each part must equal a whole token;
-  *   - between parts the regex requires [\s\-–—]+, checked on the raw gap;
-  *   - finditer order is emulated by scanning hits left-to-right, preferring
-  *     the lowest alternation rank (labels sorted longest-first) at each
-  *     start, and resuming after each match end.
-  * Concepts with any non-simple case-insensitive label, all case-sensitive
-  * labels, and all negative labels fall back to the per-concept compiled
-  * patterns, preserving KeywordMatcher's exact semantics. The equivalence
-  * gazetteer == per-concept KeywordMatcher is property-tested.
+  * Exactness contract (property-tested against KeywordMatcher):
+  *  - case-insensitive labels whose separator-split parts are pure ASCII
+  *    word characters (the overwhelming majority — case-insensitive labels
+  *    are pure-ASCII-lowercase by construction, keyword.py:141-148) match
+  *    via the trie: parts are \w-only so regex matches start/end exactly at
+  *    token boundaries, each part must equal a whole token, and the
+  *    [\s\-–—]+ separator between parts is checked on the raw gap;
+  *  - finditer order is emulated by replaying hits left-to-right, preferring
+  *    the lowest alternation rank (labels sorted longest-first) at each
+  *    start and resuming after each match end;
+  *  - concepts with any non-simple case-insensitive label, all
+  *    case-sensitive labels, and all negative labels fall back to the
+  *    per-concept compiled patterns, preserving KeywordMatcher's semantics.
   */
 final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
   import Gazetteer._
@@ -34,34 +34,46 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
   val matchers: Vector[KeywordMatcher] = concepts.map(new KeywordMatcher(_))
 
   // Per concept: case-insensitive labels in alternation-rank order (longest
-  // first), or None if any is non-simple (then the regex path covers them).
+  // first) as separator-split parts, or None if any label is non-simple
+  // (then the regex path covers the whole ci set).
   private val ciLabelSets: Vector[Option[Vector[Vector[String]]]] = concepts.map { c =>
     val (_, ci) = KeywordMatcher.splitByCaseHandling(c.allLabels)
     val tokenized = ci.map(tokenizeSimpleLabel)
     if (tokenized.forall(_.isDefined)) Some(tokenized.map(_.get)) else None
   }
 
-  private val trieViaIndex: Vector[Boolean] = ciLabelSets.map(_.isDefined)
+  private val trieViaIndex: Array[Boolean] = ciLabelSets.map(_.isDefined).toArray
+  private val hasNegatives: Array[Boolean] = concepts.map(_.negativeLabels.nonEmpty).toArray
+  private val hasCs: Array[Boolean] =
+    concepts.map(c => KeywordMatcher.splitByCaseHandling(c.allLabels)._1.nonEmpty).toArray
 
   // cs labels always via regex; ci via regex only for fallback concepts.
   @transient private lazy val csPatterns =
-    concepts.indices.toVector.map { i =>
+    concepts.indices.toArray.map { i =>
       val (cs, _) = KeywordMatcher.splitByCaseHandling(concepts(i).allLabels)
       KeywordMatcher.compile(KeywordMatcher.alternation(cs), caseSensitive = true)
     }
   @transient private lazy val ciFallbackPatterns =
-    concepts.indices.toVector.map { i =>
+    concepts.indices.toArray.map { i =>
       if (trieViaIndex(i)) null
       else {
         val (_, ci) = KeywordMatcher.splitByCaseHandling(concepts(i).allLabels)
         KeywordMatcher.compile(KeywordMatcher.alternation(ci), caseSensitive = false)
       }
     }
-  @transient private lazy val negMatchers: Vector[KeywordMatcher] = matchers
+  @transient private lazy val negPatterns: Array[(java.util.regex.Pattern, java.util.regex.Pattern)] =
+    concepts.toArray.map { c =>
+      val (cs, ci) = KeywordMatcher.splitByCaseHandling(c.negativeLabels)
+      (
+        KeywordMatcher.compile(KeywordMatcher.alternation(cs), caseSensitive = true),
+        KeywordMatcher.compile(KeywordMatcher.alternation(ci), caseSensitive = false)
+      )
+    }
 
-  // ---- trie ----------------------------------------------------------------
+  // ---- char trie -----------------------------------------------------------
+  // symbols: a-z 0-25, 0-9 26-35, '_' 36, inter-part separator 37
   private final class Node extends Serializable {
-    val children = new java.util.HashMap[String, Node]()
+    val children = new Array[Node](NSym)
     // (conceptIdx, rank in that concept's ci alternation)
     var terminals: List[(Int, Int)] = Nil
   }
@@ -70,42 +82,87 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
     val r = new Node
     for (ci <- concepts.indices; labels <- ciLabelSets(ci); (parts, rank) <- labels.zipWithIndex) {
       var node = r
-      parts.foreach { part =>
-        var next = node.children.get(part)
-        if (next == null) { next = new Node; node.children.put(part, next) }
-        node = next
+      var pi = 0
+      while (pi < parts.length) {
+        if (pi > 0) {
+          if (node.children(SepSym) == null) node.children(SepSym) = new Node
+          node = node.children(SepSym)
+        }
+        val part = parts(pi)
+        var k = 0
+        while (k < part.length) {
+          val s = symIndex(part.charAt(k))
+          if (node.children(s) == null) node.children(s) = new Node
+          node = node.children(s)
+          k += 1
+        }
+        pi += 1
       }
       node.terminals ::= (ci, rank)
     }
     r
   }
 
-  /** Spans for every concept in one pass. Returns (conceptIdx -> spans in the
-    * same order KeywordMatcher would emit them). */
-  def findAll(text: String): Array[Vector[TextSpan]] = {
-    val tokens = tokenize(text)
-    // hits per concept: (startChar, endChar, rank)
-    val hits = Array.fill(concepts.length)(List.empty[(Int, Int, Int)])
+  /** Walk the trie from every token start; `onTerminal(ci, rank, start, end)`
+    * fires for each label match. Token boundaries are maximal \w runs;
+    * multi-part labels cross tokens only over pure-separator gaps. */
+  private def walk(text: String, onTerminal: (Int, Int, Int, Int) => Unit): Unit = {
+    val n = text.length
+    var tokStart = 0
+    // token starts: positions where a word char follows a non-word char
     var i = 0
-    while (i < tokens.length) {
-      var node = root
-      var j = i
-      var continue = true
-      while (continue && j < tokens.length) {
-        val key = tokens(j).lowered
-        node = if (key == null) null else node.children.get(key)
-        if (node == null) continue = false
-        else {
-          node.terminals.foreach { case (ci, rank) =>
-            hits(ci) ::= ((tokens(i).start, tokens(j).end, rank))
+    while (i < n) {
+      if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        tokStart = i
+        var node = root
+        var k = i
+        var alive = true
+        while (alive) {
+          // consume word chars of the current token
+          var failed = false
+          while (!failed && k < n && isWordChar(text.charAt(k))) {
+            val c = text.charAt(k)
+            val s = symIndex(c)
+            if (s < 0) failed = true
+            else {
+              node = node.children(s)
+              if (node == null) failed = true else k += 1
+            }
           }
-          // extend only across pure-separator gaps
-          if (j + 1 < tokens.length && isSeparatorGap(text, tokens(j).end, tokens(j + 1).start)) j += 1
-          else continue = false
+          if (failed || node == null) alive = false
+          else {
+            // full token consumed: report terminals
+            var ts = node.terminals
+            while (ts.nonEmpty) {
+              val (ci, rank) = ts.head
+              onTerminal(ci, rank, tokStart, k)
+              ts = ts.tail
+            }
+            // try to extend across a pure-separator gap
+            val sepChild = node.children(SepSym)
+            if (sepChild == null) alive = false
+            else {
+              var g = k
+              while (g < n && isSeparatorChar(text.charAt(g))) g += 1
+              if (g == k || g >= n || !isWordChar(text.charAt(g))) alive = false
+              else {
+                node = sepChild
+                k = g
+              }
+            }
+          }
         }
       }
       i += 1
     }
+  }
+
+  /** Spans for every concept in one pass, identical to what KeywordMatcher
+    * would emit per concept. */
+  def findAll(text: String): Array[Vector[TextSpan]] = {
+    val hits = new Array[List[(Int, Int, Int)]](concepts.length)
+    java.util.Arrays.fill(hits.asInstanceOf[Array[AnyRef]], Nil)
+    walk(text, (ci, rank, s, e) => hits(ci) ::= ((s, e, rank)))
 
     val out = new Array[Vector[TextSpan]](concepts.length)
     var ci = 0
@@ -116,11 +173,10 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
       val ciSpans =
         if (trieViaIndex(ci)) emulateFinditer(hits(ci), m)
         else matchWith(text, ciFallbackPatterns(ci), m)
-      val positives = csSpans ++ ciSpans
       out(ci) =
-        if (positives.isEmpty) Vector.empty
+        if (csSpans.isEmpty && ciSpans.isEmpty) Vector.empty
         else {
-          val merged = SpanAlgebra.mergeOverlapping(positives)
+          val merged = SpanAlgebra.mergeOverlapping(csSpans ++ ciSpans)
           val negs = negativeSpans(text, ci)
           if (negs.isEmpty) merged
           else merged.filterNot(p => negs.exists(n => SpanAlgebra.overlaps(p, n)))
@@ -128,6 +184,63 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
       ci += 1
     }
     out
+  }
+
+  /** Presence-only fast path for edge-grain extraction: which concepts have
+    * at least one surviving mention in this text? Concepts without negative
+    * labels only need a boolean (no hit collection, no merge, no finditer
+    * replay); concepts with negatives or regex-path labels take the exact
+    * span path. Allocation-free for no-match texts. */
+  def findPresent(text: String): Array[Boolean] = {
+    val present = new Array[Boolean](concepts.length)
+    var needSpans = false
+    var ci0 = 0
+    while (ci0 < concepts.length && !needSpans) {
+      if (hasNegatives(ci0) || !trieViaIndex(ci0)) needSpans = true
+      ci0 += 1
+    }
+    var hits: Array[List[(Int, Int, Int)]] = null
+    if (needSpans) {
+      hits = new Array[List[(Int, Int, Int)]](concepts.length)
+      java.util.Arrays.fill(hits.asInstanceOf[Array[AnyRef]], Nil)
+      walk(
+        text,
+        (ci, rank, s, e) =>
+          if (hasNegatives(ci)) hits(ci) ::= ((s, e, rank))
+          else present(ci) = true
+      )
+    } else {
+      walk(text, (ci, _, _, _) => present(ci) = true)
+    }
+    var ci = 0
+    while (ci < concepts.length) {
+      if (!present(ci)) {
+        if (hasNegatives(ci) || !trieViaIndex(ci)) {
+          // exact span path for the hard cases
+          val m = matchers(ci)
+          val csSpans = matchWith(text, csPatterns(ci), m)
+          val ciSpans =
+            if (trieViaIndex(ci)) emulateFinditer(hits(ci), m)
+            else matchWith(text, ciFallbackPatterns(ci), m)
+          if (csSpans.nonEmpty || ciSpans.nonEmpty) {
+            val merged = SpanAlgebra.mergeOverlapping(csSpans ++ ciSpans)
+            val negs = negativeSpans(text, ci)
+            present(ci) =
+              if (negs.isEmpty) merged.nonEmpty
+              else merged.exists(p => !negs.exists(n => SpanAlgebra.overlaps(p, n)))
+          }
+        } else if (hasCs(ci)) {
+          // no negatives: any case-sensitive hit is enough
+          val p = csPatterns(ci)
+          if (p != null) {
+            val mt = p.matcher(text)
+            present(ci) = mt.find() && mt.start() != mt.end()
+          }
+        }
+      }
+      ci += 1
+    }
+    present
   }
 
   private def matchWith(text: String, p: java.util.regex.Pattern, m: KeywordMatcher): Vector[TextSpan] = {
@@ -140,15 +253,6 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
     }
     out.result()
   }
-
-  @transient private lazy val negPatterns: Vector[(java.util.regex.Pattern, java.util.regex.Pattern)] =
-    concepts.map { c =>
-      val (cs, ci) = KeywordMatcher.splitByCaseHandling(c.negativeLabels)
-      (
-        KeywordMatcher.compile(KeywordMatcher.alternation(cs), caseSensitive = true),
-        KeywordMatcher.compile(KeywordMatcher.alternation(ci), caseSensitive = false)
-      )
-    }
 
   private def negativeSpans(text: String, ci: Int): Vector[TextSpan] = {
     if (concepts(ci).negativeLabels.isEmpty) return Vector.empty
@@ -183,7 +287,18 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
 }
 
 object Gazetteer {
-  final case class Token(start: Int, end: Int, lowered: String)
+  val NSym = 38
+  val SepSym = 37
+
+  /** Map a char to its trie symbol: a-z (case-folded) 0-25, digits 26-35,
+    * '_' 36; -1 for anything a simple label can't contain. */
+  def symIndex(c: Char): Int = {
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= 'A' && c <= 'Z') c - 'A'
+    else if (c >= '0' && c <= '9') 26 + (c - '0')
+    else if (c == '_') 36
+    else -1
+  }
 
   /** Java \w with UNICODE_CHARACTER_CLASS:
     * [\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}\p{IsJoin_Control}] */
@@ -198,55 +313,15 @@ object Gazetteer {
     }
   }
 
-  /** Python/Java \s (Unicode White_Space) plus the hyphen/dash separators. */
+  /** Python/Java \s (Unicode White_Space) plus the hyphen/dash separators.
+    * Character.isWhitespace misses the no-break spaces and NEL that the
+    * White_Space property (java \s under UNICODE_CHARACTER_CLASS) includes. */
   def isSeparatorChar(c: Char): Boolean =
     c == '-' || c == '–' || c == '—' || Character.isWhitespace(c) ||
       c == '\u00a0' || c == '\u2007' || c == '\u202f' || c == '\u0085'
 
-  def isSeparatorGap(text: String, from: Int, until: Int): Boolean = {
-    var i = from
-    while (i < until) {
-      if (!isSeparatorChar(text.charAt(i))) return false
-      i += 1
-    }
-    true
-  }
-
-  /** Tokenize into maximal \w runs. `lowered` is the ASCII-lowercased token,
-    * or null if the token contains any non-ASCII char (those can never equal
-    * a pure-ASCII trie label part). */
-  def tokenize(text: String): Array[Token] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      if (isWordChar(text.charAt(i))) {
-        val start = i
-        var ascii = true
-        while (i < n && isWordChar(text.charAt(i))) {
-          if (text.charAt(i) > 127) ascii = false
-          i += 1
-        }
-        val lowered =
-          if (!ascii) null
-          else {
-            val sb = new java.lang.StringBuilder(i - start)
-            var k = start
-            while (k < i) {
-              val c = text.charAt(k)
-              sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-              k += 1
-            }
-            sb.toString
-          }
-        out += Token(start, i, lowered)
-      } else i += 1
-    }
-    out.toArray
-  }
-
   /** A label is trie-eligible iff every separator-split part is pure ASCII
-    * word chars. Returns the parts, already lowercase by construction. */
+    * word chars. Returns the parts (lowercase by construction). */
   def tokenizeSimpleLabel(label: String): Option[Vector[String]] = {
     val parts = java.util.regex.Pattern
       .compile(KeywordMatcher.separatorClass, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)

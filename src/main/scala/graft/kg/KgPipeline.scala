@@ -78,38 +78,45 @@ object KgPipeline {
   def extractMentions(spark: SparkSession, turns: DataFrame, concepts: Vector[Concept]): Dataset[Mention] = {
     import spark.implicits._
     val gaz = new Gazetteer(concepts)
-    val bc = spark.sparkContext.broadcast(gaz)
-    val slim = turns.select(
-      col("conv_id"),
-      col("turn_idx").cast("int").as("turn_idx"),
-      col("text")
-    )
-    slim.as[(String, Int, String)].flatMap { case (convId, turnIdx, text) =>
-      val g = bc.value
-      val all = g.findAll(text)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
-      var ci = 0
-      while (ci < all.length) {
-        val conceptId = g.concepts(ci).wikibaseId
-        all(ci).foreach { s =>
-          out += Mention(
-            conv_id = convId,
-            turn_idx = turnIdx,
-            concept_id = conceptId,
-            start = s.start,
-            end = s.end,
-            surface = text.substring(s.start, s.end),
-            span_id = Identifier8.spanId(text, s.start, s.end, conceptId)
-          )
-        }
-        ci += 1
-      }
-      out
-    }
+    turns
+      .select(
+        col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        explode(graft.extract.expressions.extractMentions(col("text"), gaz)).as("m")
+      )
+      .select(
+        col("conv_id"),
+        col("turn_idx"),
+        col("m.concept_id").as("concept_id"),
+        col("m.start").as("start"),
+        col("m.end").as("end"),
+        col("m.surface").as("surface"),
+        col("m.span_id").as("span_id")
+      )
+      .as[Mention]
   }
 
   def mentions(spark: SparkSession, sfDir: String, concepts: Vector[Concept] = defaultConcepts): Dataset[Mention] =
     extractMentions(spark, eligibleTurns(Transcripts.read(spark, sfDir)), concepts)
+
+  /** Edge-grain extraction: one row per (turn, concept) with at least one
+    * mention. The dedup that MENTIONS_CONCEPT needs happens INSIDE the
+    * extraction pass (a turn's matches are all local to one flatMap call),
+    * so the triples path needs no global distinct shuffle at all — the
+    * 100 TB-critical difference vs deduping 10^10 mention rows post hoc. */
+  def extractMentionEdges(
+      spark: SparkSession,
+      turns: DataFrame,
+      concepts: Vector[Concept]
+  ): DataFrame = {
+    val gaz = new Gazetteer(concepts)
+    turns
+      .select(
+        col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        explode(graft.extract.expressions.extractConceptsPresent(col("text"), gaz)).as("concept_id")
+      )
+  }
 
   /** Per-(conversation, concept) mention counts. */
   def mentionCounts(m: DataFrame): DataFrame =
@@ -148,11 +155,28 @@ object KgPipeline {
     *   (child,    SUBCONCEPT_OF,    parent)            from the concept store
     *   (concept,  RELATED_TO,       related)           from the concept store
     * Distinct = Cypher MERGE upsert semantics. */
-  def triples(spark: SparkSession, sfDir: String, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
+  def triples(spark: SparkSession, sfDir: String, concepts: Vector[Concept] = defaultConcepts): DataFrame =
+    triplesFromTurns(spark, eligibleTurns(Transcripts.read(spark, sfDir)), concepts)
+
+  /** Shuffle-free triple materialization: every branch is distinct by
+    * construction (see extractMentionEdges), so the only wide operation left
+    * in the whole path is the ordering window — and Catalyst prunes even
+    * that here because turn_seq is not referenced. */
+  def triplesFromTurns(spark: SparkSession, turns: DataFrame, concepts: Vector[Concept]): DataFrame = {
     import spark.implicits._
-    val turns = eligibleTurns(Transcripts.read(spark, sfDir))
-    val m = extractMentions(spark, turns, concepts).toDF()
-    triplesFrom(spark, turns, m, concepts)
+    val passageId = concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"))
+    val hasPassage = turns.select(
+      col("conv_id").as("subj"),
+      lit("HAS_PASSAGE").as("pred"),
+      passageId.as("obj")
+    )
+    val mentionEdges = extractMentionEdges(spark, turns, concepts)
+      .select(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj"))
+    val ids = concepts.map(_.wikibaseId).toSet
+    val conceptEdges = DemoConceptStore.conceptEdges
+      .filter { case (s, _, o) => ids(s) && ids(o) }
+      .toDF("subj", "pred", "obj")
+    hasPassage.union(mentionEdges).union(conceptEdges)
   }
 
   def triplesFrom(spark: SparkSession, turns: DataFrame, m: DataFrame, concepts: Vector[Concept]): DataFrame = {
@@ -163,15 +187,23 @@ object KgPipeline {
       lit("HAS_PASSAGE").as("pred"),
       passageId.as("obj")
     )
+    // distinct on the narrow key columns FIRST, build the subj string after —
+    // the dedup shuffle then moves (conv_id, int, Qxx) rows instead of long
+    // concatenated strings
     val mentionsEdges = m
-      .select(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj"))
+      .select(col("conv_id"), col("turn_idx"), col("concept_id"))
       .distinct()
+      .select(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj"))
     val conceptEdges = DemoConceptStore.conceptEdges
       .filter { case (s, _, o) =>
         val ids = concepts.map(_.wikibaseId).toSet; ids(s) && ids(o)
       }
       .toDF("subj", "pred", "obj")
-    hasPassage.union(mentionsEdges).union(conceptEdges).distinct()
+    // no global distinct: the three branches are disjoint by pred, and each
+    // is distinct by construction (turns are unique per (conv_id, turn_idx),
+    // mention edges deduped above, store edges deduped at build) — a final
+    // distinct() would re-shuffle every edge for nothing
+    hasPassage.union(mentionsEdges).union(conceptEdges)
   }
 
   /** Concept co-occurrence: unordered concept pairs mentioned within the same
@@ -185,6 +217,20 @@ object KgPipeline {
       .groupBy(col("a.concept_id").as("concept_a"), col("b.concept_id").as("concept_b"))
       .agg(count(lit(1)).as("n_convs"))
   }
+
+  /** A8 passage consolidation (labelled_passage.py:140-185): merge passages
+    * sharing an id (id = content hash of the text), concatenating spans and
+    * keeping one metadata map. text is identical within a group by
+    * construction; metadata is taken per the reference's "passages with
+    * identical text share metadata" invariant. */
+  def consolidatePassages(passages: DataFrame): DataFrame =
+    passages
+      .groupBy("id")
+      .agg(
+        first(col("text")).as("text"),
+        flatten(collect_list(col("spans"))).as("spans"),
+        first(col("metadata")).as("metadata")
+      )
 
   /** J7 entity canonicalization: connected components over the
     * surface-label <-> concept dictionary edges plus concept-concept edges,

@@ -47,12 +47,16 @@ object Transcripts {
     * receives `skewFactor`× more turns, modelling the long agent conversations
     * the north rule calls out. Generated distributed (no driver materialize).
     */
-  def synthesize(spark: SparkSession, nTurns: Long, nConvs: Long, skewFactor: Int = 50): DataFrame = {
-    val vocab = Seq(
+  def synthesize(spark: SparkSession, nTurns: Long, nConvs: Long, skewFactor: Int = 10): DataFrame = {
+    // ~15% of vocabulary tokens are concept labels (realistic mention
+    // density ~2-3 per 24-token turn); the rest are distractors
+    val conceptWords = Seq(
       "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part", "window",
       "small", "hash", "join", "batch", "stream", "spark", "group", "query", "row", "data",
       "slow", "filter", "customer", "line", "value", "agg", "column", "big", "a", "vector"
     )
+    val distractors = (0 until 170).map(i => s"w${i}x")
+    val vocab = conceptWords ++ distractors
     val vocabExpr = array(vocab.map(lit): _*)
     // splitmix64-style mix, stable across runs and engines
     val mixed = expr(
@@ -61,7 +65,7 @@ object Transcripts {
     spark
       .range(nTurns)
       .withColumn("h", mixed)
-      // skew: ~2% of turn mass lands in conv 0..9 ("agent" convs)
+      // skew: skewFactor% of turn mass lands in conv 0..9 ("agent" convs)
       .withColumn(
         "conv_n",
         when(col("h") % 100 < lit(skewFactor.min(98)), col("h") % 10)

@@ -73,6 +73,16 @@ class KeywordVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("findPresent (presence fast path) == findAll nonEmpty on every vector text") {
+    val concepts = cases.zipWithIndex.map { case (c, i) => c.concept.copy(wikibaseId = s"Q${900 + i}") }
+    val g = new Gazetteer(concepts)
+    cases.flatMap(_.texts).distinct.foreach { text =>
+      val all = g.findAll(text).map(_.nonEmpty).toSeq
+      val present = g.findPresent(text).toSeq
+      assert(present == all, s"text=<$text>")
+    }
+  }
+
   test("combined multi-concept gazetteer == per-concept matchers on every vector text") {
     // distinct wikibase ids so concepts don't collide in one trie
     val concepts = cases.zipWithIndex.map { case (c, i) => c.concept.copy(wikibaseId = s"Q${900 + i}") }

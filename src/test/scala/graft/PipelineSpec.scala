@@ -145,8 +145,8 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("synthetic transcripts generator: deterministic, skewed, schema-complete") {
-    val t1 = Transcripts.synthesize(spark, 10000, 100).cache()
-    val t2 = Transcripts.synthesize(spark, 10000, 100)
+    val t1 = Transcripts.synthesize(spark, 10000, 1000).cache()
+    val t2 = Transcripts.synthesize(spark, 10000, 1000)
     assert(t1.columns.toSeq == Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
     assert(t1.exceptAll(t2).count() == 0) // deterministic
     val sizes = t1.groupBy("conv_id").count()
