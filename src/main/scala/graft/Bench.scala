@@ -60,7 +60,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val synthTurns = sys.env.getOrElse("SPARK_GRAFT_SYNTH_TURNS", "8000000").toLong
+    val synthTurns = sys.env.getOrElse("SPARK_GRAFT_SYNTH_TURNS", "16000000").toLong
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
