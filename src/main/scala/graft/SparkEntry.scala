@@ -59,6 +59,12 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) => KgPipeline.triples(s, dir)),
     "kg_cooccurrence" -> ((s, dir) => KgPipeline.cooccurrence(mentions(s, dir))),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
+    // rows-only checks (array / linking outputs not SQL-oracle-expressible)
+    "kg_passage_concepts" -> ((s, dir) =>
+      graft.kg.Aggregations.mentionsPerTurn(mentions(s, dir))),
+    "kg_spans_v2" -> ((s, dir) => graft.kg.Aggregations.spansV2(mentions(s, dir))),
+    "kg_linked_surfaces" -> ((s, dir) =>
+      graft.kg.Linking.linkSurfaces(s, mentions(s, dir), KgPipeline.defaultConcepts)),
     "kg_lineage" -> ((s, dir) => {
       val turns = KgPipeline
         .eligibleTurns(Transcripts.read(s, dir))
