@@ -5,27 +5,96 @@ import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge DataFrame — the
   * canonicalization primitive (J7 in SURVEY.md §2.6). GraphFrames-style
-  * iterative DataFrame joins, no RDDs:
+  * iterative DataFrame joins, no RDDs. Two algorithms:
   *
-  *   labels(node) <- node
-  *   repeat: labels(node) <- min(labels(node), min over neighbours)
+  *  - `run` (default): alternating large-star / small-star contraction
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+  *    converges in O(log n) rounds REGARDLESS of graph diameter, so a
+  *    pathological chain is as cheap as a star. Each round is two
+  *    shuffle-aggregations + joins; hub skew (a hot concept linked from
+  *    millions of surfaces) is absorbed by map-side partial MIN aggregation
+  *    and AQE skew-join splitting.
+  *  - `runPropagation`: simple min-label propagation, O(diameter) rounds —
+  *    cheaper per round for the tiny-diameter dictionary graphs the linking
+  *    step produces, with a salted two-level neighbour-min so hub updates
+  *    don't collapse into one reducer.
   *
-  * Min-label propagation converges in O(graph diameter) rounds; entity-link
-  * graphs (mention surface <-> concept bipartite plus concept hierarchy) have
-  * tiny diameters, so this beats the constant-factor-heavy large-star/
-  * small-star alternative while staying shuffle-bounded: each round is one
-  * shuffle join keyed by node id. Skew (hot concepts like a "climate policy"
-  * hub linked from millions of surfaces) is handled by AQE skew-join splitting
-  * plus an optional salt that splits a hot node's neighbour aggregation into
-  * `salt` partial mins before the final combine. `localCheckpoint` truncates
-  * the lineage each round so plans don't grow with iteration count.
+  * Both return (node, component) with component = the lexicographically
+  * smallest node id in the component; `localCheckpoint` truncates lineage
+  * every round so plans don't grow with iteration count.
   */
 object ConnectedComponents {
 
-  /** edges: DataFrame with string columns (src, dst). Returns (node,
-    * component) where component = lexicographically smallest reachable node
-    * id. */
-  def run(
+  /** Alternating star contraction. `edges`: string columns (src, dst). */
+  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 30): DataFrame = {
+    val nodes = edges
+      .select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+
+    // canonical undirected edge list (a < b), self-loops dropped
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    def signature(df: DataFrame): (Long, Long) = {
+      // xor-fold: order-independent, overflow-free under ANSI mode (the edge
+      // set is distinct, so xor cancellation can't collide across rounds)
+      val row = df
+        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)))
+        .collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+
+    /** large-star: every node connects its larger neighbours to its current
+      * minimum (neighbours ∪ self). */
+    def largeStar(cur: DataFrame): DataFrame = {
+      val und = cur.union(cur.select(col("b").as("a"), col("a").as("b"))) // (u, v)
+      val mins = und.groupBy(col("a").as("u")).agg(least(min(col("b")), first(col("a"))).as("m"))
+      und
+        .join(mins, und("a") === mins("u"))
+        .where(col("b") > col("a"))
+        .select(col("m").as("a"), col("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    /** small-star: every node connects its smaller neighbours (and itself)
+      * to their minimum. Canonical edges grouped by the larger endpoint. */
+    def smallStar(cur: DataFrame): DataFrame = {
+      val grouped = cur.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val relinked = cur
+        .join(grouped, cur("b") === grouped("u"))
+        .select(col("m").as("a"), cur("a").as("b"))
+        .where(col("a") =!= col("b"))
+      val selfEdges = grouped.select(col("m").as("a"), col("u").as("b"))
+      relinked.union(selfEdges).distinct()
+    }
+
+    var sig = signature(e)
+    var iteration = 0
+    var converged = false
+    while (!converged && iteration < maxIterations) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      iteration += 1
+    }
+
+    val memberLabels = e.select(col("b").as("node"), col("a").as("component"))
+    val rootLabels = e.select(col("a").as("node"), col("a").as("component"))
+    nodes
+      .join(memberLabels.union(rootLabels).groupBy("node").agg(min("component").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Min-label propagation (O(diameter) rounds). */
+  def runPropagation(
       spark: SparkSession,
       edges: DataFrame,
       maxIterations: Int = 25,

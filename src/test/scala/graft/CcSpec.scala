@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kg.ConnectedComponents
+
+/** Connected components: star-contraction vs min-propagation vs a local
+  * union-find oracle, including the diameter-pathological chain. */
+class CcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // canonical root = min member id per component
+    val members = parent.keys.toSeq.groupBy(find)
+    members.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+  }
+
+  private def runBoth(edges: Seq[(String, String)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val want = unionFind(edges)
+    val star = ConnectedComponents
+      .run(spark, df)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(star == want, "star contraction")
+    val prop = ConnectedComponents
+      .runPropagation(spark, df, maxIterations = 2000)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(prop == want, "min propagation")
+  }
+
+  test("long chain (diameter 300) converges under star contraction in O(log n) rounds") {
+    val chain = (0 until 300).map(i => (f"n$i%04d", f"n${i + 1}%04d"))
+    val df = chain.toDF("src", "dst")
+    val got = ConnectedComponents.run(spark, df).collect().map(r => r.getString(0) -> r.getString(1))
+    assert(got.length == 301)
+    assert(got.forall(_._2 == "n0000"))
+  }
+
+  test("random multi-component graphs match union-find") {
+    val rng = new scala.util.Random(7)
+    val edges = (0 until 400).map { _ =>
+      val cluster = rng.nextInt(12)
+      (s"c$cluster-${rng.nextInt(30)}", s"c$cluster-${rng.nextInt(30)}")
+    }.filter(e => e._1 != e._2)
+    runBoth(edges)
+  }
+
+  test("hub graph (one concept linked from many surfaces)") {
+    val hub = (0 until 500).map(i => (s"surface:$i", "Q1")) ++ Seq(("Q1", "Q2"), ("x", "y"))
+    runBoth(hub)
+  }
+}
