@@ -20,7 +20,6 @@ import graft.extract.{Gazetteer, KeywordMatcher}
 class KeywordVectorsSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
-  private val root = mapper.readTree(getClass.getResourceAsStream("/keyword_vectors.json"))
 
   private case class Case(
       concept: Concept,
@@ -28,22 +27,26 @@ class KeywordVectorsSpec extends AnyFunSuite {
       expected: Vector[Vector[(Int, Int, String)]]
   )
 
-  private val cases: Vector[Case] = root.asScala.toVector.map { c =>
-    def strs(field: String): Vector[String] =
-      Option(c.get(field)).map(_.asScala.toVector.map(_.asText())).getOrElse(Vector.empty)
-    Case(
-      concept = Concept.normalized(
-        wikibaseId = c.get("wikibase_id").asText(),
-        preferredLabel = c.get("preferred_label").asText(),
-        alternativeLabels = strs("alternative_labels"),
-        negativeLabels = strs("negative_labels")
-      ),
-      texts = strs("texts"),
-      expected = c.get("expected").asScala.toVector.map { spans =>
-        spans.asScala.toVector.map(s => (s.get("start").asInt(), s.get("end").asInt(), s.get("id").asText()))
-      }
-    )
-  }
+  private def loadCases(resource: String): Vector[Case] =
+    mapper.readTree(getClass.getResourceAsStream(resource)).asScala.toVector.map { c =>
+      def strs(field: String): Vector[String] =
+        Option(c.get(field)).map(_.asScala.toVector.map(_.asText())).getOrElse(Vector.empty)
+      Case(
+        concept = Concept.normalized(
+          wikibaseId = c.get("wikibase_id").asText(),
+          preferredLabel = c.get("preferred_label").asText(),
+          alternativeLabels = strs("alternative_labels"),
+          negativeLabels = strs("negative_labels")
+        ),
+        texts = strs("texts"),
+        expected = c.get("expected").asScala.toVector.map { spans =>
+          spans.asScala.toVector.map(s => (s.get("start").asInt(), s.get("end").asInt(), s.get("id").asText()))
+        }
+      )
+    }
+
+  private val cases: Vector[Case] = loadCases("/keyword_vectors.json")
+  private val fuzzCases: Vector[Case] = loadCases("/keyword_vectors_fuzz.json")
 
   test("vectors loaded") {
     assert(cases.length >= 10)
@@ -69,6 +72,31 @@ class KeywordVectorsSpec extends AnyFunSuite {
           g.findAll(text)(0) == m.findSpans(text),
           s"concept=${c.concept.preferredLabel} text=<$text>"
         )
+      }
+    }
+  }
+
+  test("fuzz corpus: 60 random concepts x 10 texts match reference spans, ids, gazetteer and presence") {
+    assert(fuzzCases.length >= 50)
+    fuzzCases.foreach { c =>
+      val m = new KeywordMatcher(c.concept)
+      val g = new Gazetteer(Vector(c.concept))
+      c.texts.lazyZip(c.expected).foreach { (text, want) =>
+        val got = m.findSpans(text).map(s => (s.start, s.end, s.idFor(text)))
+        assert(got == want, s"concept=${c.concept.preferredLabel} text=<$text>")
+        assert(g.findAll(text)(0) == m.findSpans(text), s"gazetteer mismatch text=<$text>")
+        assert(g.findPresent(text)(0) == m.findSpans(text).nonEmpty, s"presence mismatch text=<$text>")
+      }
+    }
+  }
+
+  test("fuzz corpus: combined 60-concept gazetteer == per-concept matchers") {
+    val g = new Gazetteer(fuzzCases.map(_.concept))
+    val matchers = fuzzCases.map(c => new KeywordMatcher(c.concept))
+    fuzzCases.flatMap(_.texts).distinct.take(200).foreach { text =>
+      val all = g.findAll(text)
+      matchers.indices.foreach { i =>
+        assert(all(i) == matchers(i).findSpans(text), s"concept=${fuzzCases(i).concept.preferredLabel} text=<$text>")
       }
     }
   }
