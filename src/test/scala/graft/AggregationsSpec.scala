@@ -46,6 +46,18 @@ class AggregationsSpec extends AnyFunSuite {
     assert(Aggregations.parseModelField("Q123:abcdefg1:jk234567").isEmpty) // '1' not in alphabet
   }
 
+  test("G2 parent_concept_ids_flat: comma-joined WITH trailing comma (aggregate.py:628-631)") {
+    import graft.core.Concept
+    // ",".join([]) + "," == "," for no parents; order preserved otherwise
+    assert(Concept.normalized("Q9", "x").parentConceptIdsFlat == ",")
+    assert(Concept.normalized("Q9", "x", subconceptOf = Seq("Q1")).parentConceptIdsFlat == "Q1,")
+    assert(Concept.normalized("Q9", "x", subconceptOf = Seq("Q3", "Q1", "Q2")).parentConceptIdsFlat == "Q3,Q1,Q2,")
+    // model string round-trips through the G4 parser
+    val c = graft.kg.DemoConceptStore.concepts.head
+    val m = graft.kg.DemoConceptStore.modelString(c)
+    assert(Aggregations.parseModelField(m) == Some((c.wikibaseId, c.id, graft.kg.DemoConceptStore.classifierId(c))))
+  }
+
   test("G5 spans_v2: identical (start,end) intervals group their concepts") {
     val m = Seq(
       ("c1", 0, 5, 9, "Q1"), ("c1", 0, 5, 9, "Q2"), ("c1", 0, 7, 12, "Q1")
