@@ -6,7 +6,47 @@ import graft.kg.KgPipeline
 
 /** Dev micro-bench: decompose kgJob cost by stage at two parallelism levels. */
 object Probe {
+  /** Single-threaded extraction micro-bench on the same workload shape as
+    * tools' reference-throughput script (20k 24-token texts, 13 concepts) —
+    * the apples-to-apples single-core comparison recorded in
+    * BENCH/BASELINE.md. */
+  def micro(): Unit = {
+    val rng = new java.util.Random(42)
+    val conceptWords =
+      "the fast key order sort table scan merge part window small hash join batch stream spark group query row data slow filter customer line value agg column big a vector"
+        .split(" ")
+    val vocab = conceptWords ++ (0 until 170).map(i => s"w${i}x")
+    val texts = Array.fill(20000)(
+      (0 until 24).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    )
+    val gaz = new graft.extract.Gazetteer(graft.kg.KgPipeline.defaultConcepts)
+    // warm-up
+    texts.take(2000).foreach(gaz.findAll)
+    var spans = 0L
+    val t0 = System.nanoTime()
+    texts.foreach { t =>
+      val all = gaz.findAll(t)
+      var i = 0
+      while (i < all.length) { spans += all(i).length; i += 1 }
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // presence-only path
+    texts.take(2000).foreach(gaz.findPresent)
+    var edges = 0L
+    val t1 = System.nanoTime()
+    texts.foreach { t =>
+      val p = gaz.findPresent(t)
+      var i = 0
+      while (i < p.length) { if (p(i)) edges += 1; i += 1 }
+    }
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    println(
+      f"""[micro] {"texts":20000,"concepts":13,"spans":$spans,"span_grain_sec":$dt%.3f,"span_grain_turns_per_sec":${20000 / dt}%.1f,"edges":$edges,"presence_sec":$dt1%.3f,"presence_turns_per_sec":${20000 / dt1}%.1f}"""
+    )
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("micro")) { micro(); return }
     val path = if (args.nonEmpty) args(0) else "/tmp/graft_bench_transcripts_v2_8000000"
     if (!new java.io.File(path).exists()) {
       val s = Bench.session(32)
