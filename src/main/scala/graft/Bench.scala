@@ -89,6 +89,17 @@ object Bench {
     }
     val (triples32, sec32first) = kgJob(spark, synthPath) // warm cache path
     val (_, secMain) = kgJob(spark, synthPath)
+    // write-inclusive end-to-end: extraction -> triples -> parquet sink
+    val sinkPath = s"/tmp/graft_bench_triples_out"
+    val (_, secWrite) = time {
+      val turns = KgPipeline.eligibleTurns(spark.read.parquet(synthPath))
+      KgPipeline
+        .triplesFromTurns(spark, turns, KgPipeline.defaultConcepts)
+        .write
+        .mode("overwrite")
+        .parquet(sinkPath)
+      triples32
+    }
     spark.stop()
 
     var scalingJson = "null"
@@ -118,7 +129,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f},"scaling":$scalingJson}"""
+      f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
     )
   }
 }

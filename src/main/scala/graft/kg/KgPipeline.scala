@@ -179,6 +179,10 @@ object KgPipeline {
     hasPassage.union(mentionEdges).union(conceptEdges)
   }
 
+  /** Triples from pre-materialized span-grain mentions (when the mentions
+    * table already exists — e.g. resuming from a checkpointed mentions
+    * layer). Prefer triplesFromTurns when extracting fresh: it skips the
+    * dedup shuffle entirely. */
   def triplesFrom(spark: SparkSession, turns: DataFrame, m: DataFrame, concepts: Vector[Concept]): DataFrame = {
     import spark.implicits._
     val passageId = concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"))
