@@ -65,13 +65,26 @@ class GoldenPrSpec extends AnyFunSuite {
         )
         val matcher = new KeywordMatcher(concept)
         val predicted = passages.map(p => matcher.findSpans(p.text))
-        val cm = Metrics.countSpanLevel(goldSpans, predicted, threshold = 0.9)
-        assert(
-          cm.precision >= 0.95 && cm.recall >= 0.95,
-          s"$qid/${clfDir.getFileName}: P=${cm.precision} R=${cm.recall} ($cm)"
+        // the reference evaluates at jaccard thresholds {0, .5, .9, .99}
+        // (operations/evaluate.py:142) plus passage level
+        Seq(0.0, 0.5, 0.9, 0.99).foreach { t =>
+          val cm = Metrics.countSpanLevel(goldSpans, predicted, threshold = t)
+          assert(
+            cm.precision >= 0.95 && cm.recall >= 0.95,
+            s"$qid/${clfDir.getFileName} @jaccard>$t: P=${cm.precision} R=${cm.recall} ($cm)"
+          )
+        }
+        val passageCm = Metrics.countPassageLevel(
+          passages.indices.map(i => i.toString -> goldSpans(i)).toMap,
+          passages.indices.map(i => i.toString -> predicted(i)).toMap
         )
+        assert(
+          passageCm.precision >= 0.95 && passageCm.recall >= 0.95,
+          s"$qid/${clfDir.getFileName} passage-level: $passageCm"
+        )
+        val cm09 = Metrics.countSpanLevel(goldSpans, predicted, threshold = 0.9)
         evaluated += 1
-        info(f"$qid/${clfDir.getFileName}: P=${cm.precision}%.3f R=${cm.recall}%.3f tp=${cm.tp} over ${passages.length} passages")
+        info(f"$qid/${clfDir.getFileName}: P=${cm09.precision}%.3f R=${cm09.recall}%.3f tp=${cm09.tp} over ${passages.length} passages (all 4 thresholds + passage level >= 0.95)")
       }
     }
     assert(evaluated >= 5, s"expected to evaluate at least 5 golden concept fixtures, got $evaluated")
