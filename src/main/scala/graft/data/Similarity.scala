@@ -55,13 +55,16 @@ object Similarity {
       .where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("c"))
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell").asc)
+    // argmin via max_by (partial-aggregating) rather than a full-corpus
+    // window: key = (similarity, -cell) so ties break toward the lowest cell
     vecs
       .join(broadcast(centroids))
       .select(col("vec_id"), col("cell"), col("v"), cosine(col("v"), col("c")).as("d"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("vec_id", "cell", "v")
+      .groupBy("vec_id")
+      .agg(
+        max_by(struct(col("cell"), col("v")), struct(col("d"), -col("cell"))).as("best")
+      )
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.v").as("v"))
   }
 
   /** IVF-probed ANN top-k: each query scans only its nProbe nearest cells. */
