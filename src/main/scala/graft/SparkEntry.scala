@@ -65,6 +65,8 @@ object SparkEntry {
     "kg_spans_v2" -> ((s, dir) => graft.kg.Aggregations.spansV2(mentions(s, dir))),
     "kg_linked_surfaces" -> ((s, dir) =>
       graft.kg.Linking.linkSurfaces(s, mentions(s, dir), KgPipeline.defaultConcepts)),
+    "kg_canonical_mentions" -> ((s, dir) =>
+      KgPipeline.canonicalizeMentions(s, mentions(s, dir))),
     "kg_lineage" -> ((s, dir) => {
       val turns = KgPipeline
         .eligibleTurns(Transcripts.read(s, dir))

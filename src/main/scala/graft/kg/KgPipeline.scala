@@ -222,6 +222,39 @@ object KgPipeline {
       .agg(count(lit(1)).as("n_convs"))
   }
 
+  /** J7 end-to-end: canonical mention ids. Each extracted mention's surface
+    * is linked against the broadcast dictionary (Linking), surfaces/concepts
+    * are clustered by connected components over dictionary + hierarchy edges
+    * (ConnectedComponents), and every mention row gets the canonical
+    * component id of its concept — the corpus-level generalization of the
+    * reference's per-passage greedy span grouping (span.py:445-469). */
+  def canonicalizeMentions(
+      spark: SparkSession,
+      m: DataFrame,
+      concepts: Vector[Concept] = defaultConcepts
+  ): DataFrame = {
+    val components = canonicalEntities(spark, concepts)
+      .withColumnRenamed("node", "concept_id")
+      .withColumnRenamed("component", "canonical_id")
+    val linked = Linking
+      .linkSurfaces(spark, m, concepts)
+      .select(col("surface").as("surface_lc"), col("concept_id").as("linked_concept_id"), col("link_kind"))
+    m.withColumn("surface_lc", lower(col("surface")))
+      .join(broadcast(linked), Seq("surface_lc"), "left")
+      .join(broadcast(components), Seq("concept_id"), "left")
+      .select(
+        col("conv_id"),
+        col("turn_idx"),
+        col("concept_id"),
+        col("start"),
+        col("end"),
+        col("surface"),
+        coalesce(col("linked_concept_id"), col("concept_id")).as("linked_concept_id"),
+        coalesce(col("link_kind"), lit("extraction")).as("link_kind"),
+        coalesce(col("canonical_id"), col("concept_id")).as("canonical_id")
+      )
+  }
+
   /** A8 passage consolidation (labelled_passage.py:140-185): merge passages
     * sharing an id (id = content hash of the text), concatenating spans and
     * keeping one metadata map. text is identical within a group by

@@ -108,6 +108,18 @@ class AggregationsSpec extends AnyFunSuite {
     assert(expected >= surfaces.length - 2 && expected > 10)
   }
 
+  test("J7 end-to-end: every mention gets a canonical component id") {
+    val canon = KgPipeline.canonicalizeMentions(spark, mentions).cache()
+    assert(canon.count() == mentions.count())
+    assert(canon.where(col("canonical_id").isNull).count() == 0)
+    val byId = canon.select("concept_id", "canonical_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // Q10..Q18 cluster under the relational-operator/runtime family root
+    assert(byId("Q11") == byId("Q10") && byId("Q15") == byId("Q10"))
+    // Q70/Q80 family stays separate
+    assert(!byId.get("Q70").contains(byId("Q10")))
+  }
+
   test("S10 concept JSON loader: reference Q787 fixture round-trips validators") {
     val p = Paths.get("/root/reference/tests/fixtures/data/processed/concepts/Q787.json")
     assume(Files.exists(p), "reference fixture not present")
