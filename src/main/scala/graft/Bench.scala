@@ -21,6 +21,12 @@ import graft.kg.{KgPipeline, Transcripts}
   */
 object Bench {
 
+  private def localDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
+    else sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-spark-local"
+  }
+
   def session(cpus: Int): SparkSession = {
     val s = SparkSession
       .builder()
@@ -32,7 +38,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
