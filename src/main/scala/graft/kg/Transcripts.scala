@@ -58,10 +58,9 @@ object Transcripts {
     val distractors = (0 until 170).map(i => s"w${i}x")
     val vocab = conceptWords ++ distractors
     val vocabExpr = array(vocab.map(lit): _*)
-    // splitmix64-style mix, stable across runs and engines
-    val mixed = expr(
-      "abs(hash(id, 42L))"
-    )
+    // stable 32-bit mix widened to long BEFORE abs: abs(Int.MinValue) throws
+    // under ANSI mode, and murmur3 hits it once per ~2^32 rows
+    val mixed = expr("abs(cast(hash(id, 42L) as bigint))")
     spark
       .range(nTurns)
       .withColumn("h", mixed)
@@ -81,7 +80,8 @@ object Transcripts {
         "text",
         concat_ws(
           " ",
-          (0 until 24).map(k => element_at(vocabExpr, (abs(hash(col("id"), lit(k))) % vocab.size + 1).cast("int"))): _*
+          (0 until 24).map(k =>
+            element_at(vocabExpr, (abs(hash(col("id"), lit(k)).cast("long")) % vocab.size + 1).cast("int"))): _*
         )
       )
       .withColumn("tool", expr("CASE WHEN id % 4 = 3 THEN 'search' ELSE NULL END"))
