@@ -199,6 +199,35 @@ object SparkEntry {
           (col("value") - coalesce(col("prev_value"), lit(0.0))).as("value_delta")
         )
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // session = maximal run of a user's events with < 30 min gaps;
+      // classic cumulative-sum-over-gap-flags sessionization
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_ts").isNull || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >= 1800, 1)
+            .otherwise(0)
+        )
+        .withColumn("session_seq", sum(col("new_session")).over(w))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s")
+        )
+    }),
+    "q_topk_per_user" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("user_id", "rk", "event_id")
+    }),
     "g9_balanced_sample" -> ((s, dir) => {
       // deterministic balanced sampling (G9, sampling.py:12-106): fixed quota
       // per stratum, ordered by a content hash instead of a seeded rand so the
@@ -344,6 +373,24 @@ object SparkEntry {
         |  value - COALESCE(LAG(value, 1) OVER w, 0.0) AS value_delta
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+        |       CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q_topk_per_user" ->
+      """SELECT user_id, rk, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rk
+        |  FROM events) WHERE rk <= 3""".stripMargin,
     "g9_balanced_sample" ->
       """SELECT event_id, event_type, rn FROM (
         |  SELECT event_id, event_type,
