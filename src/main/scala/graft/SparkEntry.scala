@@ -57,6 +57,8 @@ object SparkEntry {
     "kg_vespa_concepts" -> ((s, dir) => KgPipeline.vespaConcepts(s, mentions(s, dir))),
     "kg_concept_counts" -> ((s, dir) => KgPipeline.conceptCounts(s, mentions(s, dir))),
     "kg_triples" -> ((s, dir) => KgPipeline.triples(s, dir)),
+    "kg_nodes" -> ((s, dir) =>
+      KgPipeline.nodes(s, KgPipeline.eligibleTurns(Transcripts.read(s, dir)), KgPipeline.defaultConcepts)),
     "kg_cooccurrence" -> ((s, dir) => KgPipeline.cooccurrence(mentions(s, dir))),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // rows-only checks (array / linking outputs not SQL-oracle-expressible)
@@ -250,6 +252,7 @@ object SparkEntry {
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
     "kg_concept_counts" -> OracleGen.conceptCountsSql,
     "kg_triples" -> OracleGen.triplesSql,
+    "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_lineage" -> OracleGen.lineageSql,

@@ -210,6 +210,28 @@ object KgPipeline {
     hasPassage.union(mentionsEdges).union(conceptEdges)
   }
 
+  /** The graph node layer (graph_models.py:113-161; FIXTURES.md §6):
+    * document / passage / concept property bags, long-formatted as
+    * (node_id, kind, prop). Documents carry their turn count, passages their
+    * ordering key, concepts their preferred label — the properties the
+    * reference's Neo4j nodes carry that survive the transcripts mapping. */
+  def nodes(spark: SparkSession, turns: DataFrame, concepts: Vector[Concept]): DataFrame = {
+    import spark.implicits._
+    val docNodes = turns
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("conv_id").as("node_id"), lit("document").as("kind"), col("n").cast("string").as("prop"))
+    val passageNodes = turns.select(
+      concat(col("conv_id"), lit("_"), col("turn_idx").cast("string")).as("node_id"),
+      lit("passage").as("kind"),
+      col("turn_idx").cast("string").as("prop")
+    )
+    val conceptNodes = concepts
+      .map(c => (c.wikibaseId, "concept", c.preferredLabel))
+      .toDF("node_id", "kind", "prop")
+    docNodes.union(passageNodes).union(conceptNodes)
+  }
+
   /** Concept co-occurrence: unordered concept pairs mentioned within the same
     * conversation, weighted by conversation count — the corpus-level graph
     * signal used for canonicalization and skew analysis. */

@@ -169,6 +169,19 @@ object OracleGen {
        |FROM t LEFT JOIN m ON t.conv_id = m.conv_id
        |GROUP BY 1""".stripMargin
 
+  val nodesSql: String = {
+    val conceptValues = concepts
+      .map(c => s"('${c.wikibaseId}', 'concept', '${sq(c.preferredLabel)}')")
+      .mkString(", ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte
+       |SELECT conv_id AS node_id, 'document' AS kind, CAST(COUNT(*) AS VARCHAR) AS prop FROM turns GROUP BY conv_id
+       |UNION ALL
+       |SELECT conv_id || '_' || CAST(turn_idx AS VARCHAR), 'passage', CAST(turn_idx AS VARCHAR) FROM turns
+       |UNION ALL
+       |SELECT node_id, kind, prop FROM (VALUES $conceptValues) v(node_id, kind, prop)""".stripMargin
+  }
+
   val transcriptsSql: String =
     s"WITH $transcriptsCte SELECT conv_id, turn_idx, role, text, tool, ts_epoch FROM transcripts"
 
