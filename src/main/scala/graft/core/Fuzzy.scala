@@ -89,21 +89,15 @@ object Fuzzy {
       j2len = newj2len
       i += 1
     }
-    // popular/junk extension steps of difflib collapse to plain extension
-    // here because we pass isjunk=None and already removed popular entries
-    // from b2j: extend over non-indexed ("popular") chars on both ends.
-    def indexed(c: Char): Boolean = b2j.containsKey(c)
+    // difflib's junk-aware extension loops: with isjunk=None the bjunk set is
+    // empty, so BOTH loop pairs extend unconditionally over any equal chars
+    // (including "popular" chars that autojunk removed from b2j — popularity
+    // only stops matches from SEEDING there, not from extending across).
     var bi = besti; var bj = bestj; var size = bestsize
-    while (bi > alo && bj > blo && indexed(b.charAt(bj - 1)) && a.charAt(bi - 1) == b.charAt(bj - 1)) {
+    while (bi > alo && bj > blo && a.charAt(bi - 1) == b.charAt(bj - 1)) {
       bi -= 1; bj -= 1; size += 1
     }
-    while (bi + size < ahi && bj + size < bhi && indexed(b.charAt(bj + size)) &&
-      a.charAt(bi + size) == b.charAt(bj + size)) size += 1
-    while (bi > alo && bj > blo && !indexed(b.charAt(bj - 1)) && a.charAt(bi - 1) == b.charAt(bj - 1)) {
-      bi -= 1; bj -= 1; size += 1
-    }
-    while (bi + size < ahi && bj + size < bhi && !indexed(b.charAt(bj + size)) &&
-      a.charAt(bi + size) == b.charAt(bj + size)) size += 1
+    while (bi + size < ahi && bj + size < bhi && a.charAt(bi + size) == b.charAt(bj + size)) size += 1
     (bi, bj, size)
   }
 
@@ -119,8 +113,19 @@ object Fuzzy {
   ): Option[(Int, Int)] = {
     val spanText = spanTextRaw.trim.replaceAll("\\s+", " ")
     val sLen = spanText.length
-    if (spanStartIndex >= 0 && spanStartIndex + sLen <= inputText.length &&
-      inputText.substring(spanStartIndex, spanStartIndex + sLen) == spanText)
+    // exact-match check with Python slice semantics (span.py:521):
+    // input_text[start : start+len] clamps out-of-range and wraps negative
+    // indices, so an empty span text matches at ANY offset — reproduce that
+    // rather than crash on out-of-window offsets
+    def pySlice(s: String, from: Int, until: Int): String = {
+      def idx(i: Int): Int = {
+        val j = if (i < 0) s.length + i else i
+        math.max(0, math.min(s.length, j))
+      }
+      val (f, u) = (idx(from), idx(until))
+      if (u <= f) "" else s.substring(f, u)
+    }
+    if (pySlice(inputText, spanStartIndex, spanStartIndex + sLen) == spanText)
       return Some((spanStartIndex, spanStartIndex + sLen))
 
     val windowLength = sLen * nSpansLengthToSearch

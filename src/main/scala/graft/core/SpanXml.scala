@@ -13,7 +13,10 @@ object SpanXml {
       extends Exception(s"Span XML has incorrectly annotated concepts.\nXML:\t$xml\n")
 
   private val TagRe = "</?concept>".r
-  private val GroupRe = "(?s)<concept>(.*?)</concept>".r
+  // NO DOTALL: the reference's re.finditer(r"<concept>(.*?)</concept>") does
+  // not set re.S, so a concept group cannot span a newline — tags separated
+  // by \n simply don't pair up
+  private val GroupRe = "<concept>(.*?)</concept>".r
 
   /** span.py:247-270 — tags must alternate, start tag first, equal counts. */
   def validate(xml: String): Unit = {
@@ -44,6 +47,14 @@ object SpanXml {
         val tagPairLen = "<concept></concept>".length
         GroupRe.findAllMatchIn(xml).toVector.zipWithIndex.map { case (m, offset) =>
           val start = m.start - offset * tagPairLen
+          // the reference's Span model rejects empty spans and spans past the
+          // text end (span.py:93-104) — e.g. a tag pair broken by a newline
+          // throws there too (the offset math overruns the stripped text)
+          require(m.group(1).nonEmpty, s"The end index must be greater than the start index (empty concept group in: $xml)")
+          require(
+            start >= 0 && start + m.group(1).length <= withoutTags.length,
+            s"The end index must be less than or equal to the length of the text (in: $xml)"
+          )
           TextSpan(start, start + m.group(1).length, conceptId, labellers)
         }
     }
@@ -63,7 +74,11 @@ object SpanXml {
       val expectedStart = m.start - offset * tagPairLen
       Fuzzy
         .findSpanTextInInputText(inputText, m.group(1), expectedStart)
-        .map { case (s, e) => TextSpan(s, e, conceptId, labellers) }
+        .map { case (s, e) =>
+          // reference Span validation (span.py:93-104): start >= 0, end > start
+          require(s >= 0 && e > s, s"The end index must be greater than the start index (span ($s,$e) in: $xml)")
+          TextSpan(s, e, conceptId, labellers)
+        }
     }
   }
 }

@@ -29,10 +29,13 @@ object Sampling {
     val quota = (sampleSize / nStrata).toInt
 
     val w = Window.partitionBy(col("__stratum")).orderBy(col("__r"))
-    val ranked = withKey.withColumn("__rn", row_number().over(w))
+    val ranked = withKey.withColumn("__rn", row_number().over(w)).cache()
     val base = ranked.where(col("__rn") <= quota)
 
-    val shortfall = sampleSize - quota * nStrata
+    // shortfall from the ACTUAL base size (sampling.py:86-101 computes
+    // missing_rows from len(result)): undersized strata contribute fewer
+    // than quota rows, and the top-up must make up for that too
+    val shortfall = sampleSize - base.count()
     val result =
       if (shortfall <= 0) base
       else {

@@ -109,24 +109,30 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
   private def walk(text: String, onTerminal: (Int, Int, Int, Int) => Unit): Unit = {
     val n = text.length
     var tokStart = 0
-    // token starts: positions where a word char follows a non-word char
+    // token starts: positions where a word CODEPOINT follows a non-word one
+    // (codepoint-aware so supplementary-plane word chars — surrogate pairs —
+    // bound tokens exactly like java regex \w does)
     var i = 0
     while (i < n) {
-      if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+      val atTokenStart =
+        !Character.isLowSurrogate(text.charAt(i)) &&
+          isWordCp(text.codePointAt(i)) &&
+          (i == 0 || !isWordCp(text.codePointBefore(i)))
+      if (atTokenStart) {
         tokStart = i
         var node = root
         var k = i
         var alive = true
         while (alive) {
-          // consume word chars of the current token
+          // consume word codepoints of the current token
           var failed = false
-          while (!failed && k < n && isWordChar(text.charAt(k))) {
-            val c = text.charAt(k)
-            val s = symIndex(c)
+          while (!failed && k < n && isWordCp(text.codePointAt(k))) {
+            val cp = text.codePointAt(k)
+            val s = if (cp > 0xffff) -1 else symIndex(cp.toChar)
             if (s < 0) failed = true
             else {
               node = node.children(s)
-              if (node == null) failed = true else k += 1
+              if (node == null) failed = true else k += Character.charCount(cp)
             }
           }
           if (failed || node == null) alive = false
@@ -144,7 +150,7 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
             else {
               var g = k
               while (g < n && isSeparatorChar(text.charAt(g))) g += 1
-              if (g == k || g >= n || !isWordChar(text.charAt(g))) alive = false
+              if (g == k || g >= n || !isWordCp(text.codePointAt(g))) alive = false
               else {
                 node = sepChild
                 k = g
@@ -157,9 +163,17 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
     }
   }
 
-  /** Spans for every concept in one pass, identical to what KeywordMatcher
-    * would emit per concept. */
+  /** Spans for every concept in one pass with PYTHON (codepoint) indices —
+    * identical to what KeywordMatcher.findSpans emits per concept. */
   def findAll(text: String): Array[Vector[TextSpan]] = {
+    val raw = findAllRaw(text)
+    if (!graft.core.CodePoints.hasSupplementary(text)) raw
+    else raw.map(spans => graft.core.CodePoints.toCodePointSpans(text, spans))
+  }
+
+  /** Spans for every concept in one pass, UTF-16 indices (internal fast
+    * path — substring extraction needs UTF-16 offsets). */
+  private[graft] def findAllRaw(text: String): Array[Vector[TextSpan]] = {
     val hits = new Array[List[(Int, Int, Int)]](concepts.length)
     java.util.Arrays.fill(hits.asInstanceOf[Array[AnyRef]], Nil)
     walk(text, (ci, rank, s, e) => hits(ci) ::= ((s, e, rank)))
@@ -234,7 +248,10 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
           val p = csPatterns(ci)
           if (p != null) {
             val mt = p.matcher(text)
-            present(ci) = mt.find() && mt.start() != mt.end()
+            var found = false
+            while (!found && mt.find())
+              found = mt.start() != mt.end() && KeywordMatcher.codepointBoundariesOk(text, mt.start(), mt.end())
+            present(ci) = found
           }
         }
       }
@@ -248,7 +265,7 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
     val mt = p.matcher(text)
     val out = Vector.newBuilder[TextSpan]
     while (mt.find()) {
-      if (mt.start() != mt.end())
+      if (mt.start() != mt.end() && KeywordMatcher.codepointBoundariesOk(text, mt.start(), mt.end()))
         out += TextSpan(mt.start(), mt.end(), m.concept.wikibaseId, Vector(m.labeller))
     }
     out.result()
@@ -297,25 +314,35 @@ object Gazetteer {
     else if (c >= 'A' && c <= 'Z') c - 'A'
     else if (c >= '0' && c <= '9') 26 + (c - '0')
     else if (c == '_') 36
+    // unicode case-fold equivalents of ascii letters that
+    // CASE_INSENSITIVE|UNICODE_CASE regexes accept: Kelvin sign and long s
+    else if (c == '\u212a') 'k' - 'a'
+    else if (c == '\u017f') 's' - 'a'
     else -1
   }
 
   /** Java \w with UNICODE_CHARACTER_CLASS:
-    * [\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}\p{IsJoin_Control}] */
-  def isWordChar(c: Char): Boolean = {
-    if (c < 128) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+    * [\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}\p{IsJoin_Control}],
+    * evaluated per CODEPOINT (supplementary-plane chars included). */
+  def isWordCp(cp: Int): Boolean = {
+    if (cp < 128) (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9') || cp == '_'
     else {
-      val t = Character.getType(c)
-      Character.isAlphabetic(c) || Character.isDigit(c) ||
+      val t = Character.getType(cp)
+      Character.isAlphabetic(cp) || Character.isDigit(cp) ||
       t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
       t == Character.COMBINING_SPACING_MARK || t == Character.CONNECTOR_PUNCTUATION ||
-      c == '\u200c' || c == '\u200d' // ZWNJ / ZWJ join controls
+      cp == 0x200c || cp == 0x200d // ZWNJ / ZWJ join controls
     }
   }
+
+  def isWordChar(c: Char): Boolean = isWordCp(c)
 
   /** Python/Java \s (Unicode White_Space) plus the hyphen/dash separators.
     * Character.isWhitespace misses the no-break spaces and NEL that the
     * White_Space property (java \s under UNICODE_CHARACTER_CLASS) includes. */
+  /** PYTHON \s (White_Space property plus U+001C-001F, str.isspace
+    * semantics) plus the hyphen/dash separators. Character.isWhitespace
+    * already includes 1C-1F but misses the no-break spaces and NEL. */
   def isSeparatorChar(c: Char): Boolean =
     c == '-' || c == '–' || c == '—' || Character.isWhitespace(c) ||
       c == '\u00a0' || c == '\u2007' || c == '\u202f' || c == '\u0085'

@@ -59,14 +59,14 @@ final class KeywordMatcher(val concept: Concept) extends Serializable {
     val m = pattern.matcher(text)
     val out = Vector.newBuilder[TextSpan]
     while (m.find()) {
-      if (m.start() != m.end())
+      if (m.start() != m.end() && KeywordMatcher.codepointBoundariesOk(text, m.start(), m.end()))
         out += TextSpan(m.start(), m.end(), concept.wikibaseId, Vector(labeller))
     }
     out.result()
   }
 
-  /** Full predict semantics (keyword.py:224-279). */
-  def findSpans(text: String): Vector[TextSpan] = {
+  /** Full predict semantics (keyword.py:224-279), UTF-16 indices. */
+  private[extract] def findSpansRaw(text: String): Vector[TextSpan] = {
     val positives =
       matchSpans(text, csPositivePattern) ++ matchSpans(text, ciPositivePattern)
     if (positives.isEmpty) return Vector.empty
@@ -79,11 +79,20 @@ final class KeywordMatcher(val concept: Concept) extends Serializable {
       merged.filterNot(p => mergedNeg.exists(n => SpanAlgebra.overlaps(p, n)))
     }
   }
+
+  /** Full predict semantics with PYTHON (codepoint) indices — identical to
+    * UTF-16 unless the text contains supplementary-plane chars. */
+  def findSpans(text: String): Vector[TextSpan] =
+    graft.core.CodePoints.toCodePointSpans(text, findSpansRaw(text))
 }
 
 object KeywordMatcher {
-  /** [\s\-–—]+ with Unicode \s — keyword.py:52-57. */
-  val separatorClass: String = "[\\s\\-–—]+"
+  /** The separator class with PYTHON \s semantics (keyword.py:52-57):
+    * python's \s = Unicode White_Space PLUS the U+001C-001F separators
+    * (str.isspace), which java's unicode \s excludes — hence the explicit
+    * range. \x{..} escapes parse in both java.util.regex and RE2 (the
+    * DuckDB oracle reuses these pattern strings). */
+  val separatorClass: String = "[\\s\\x{1c}-\\x{1f}\\-–—]+"
   private val separatorSplitter =
     Pattern.compile(separatorClass, Pattern.UNICODE_CHARACTER_CLASS)
 
@@ -109,6 +118,17 @@ object KeywordMatcher {
   def alternation(sortedLabels: Seq[String]): Option[String] =
     if (sortedLabels.isEmpty) None
     else Some("(?<!\\w)(?:" + sortedLabels.map(separatorFlexible).mkString("|") + ")(?!\\w)")
+
+  /** Java's lookbehind steps back one CHAR, not one codepoint, so
+    * (?<!\w) wrongly accepts a match right after a supplementary-plane word
+    * char (it only sees the low surrogate). Python evaluates per codepoint.
+    * This post-check re-verifies both custom word boundaries per codepoint.
+    */
+  def codepointBoundariesOk(text: String, start: Int, end: Int): Boolean = {
+    val beforeOk = start == 0 || !graft.extract.Gazetteer.isWordCp(text.codePointBefore(start))
+    val afterOk = end >= text.length || !graft.extract.Gazetteer.isWordCp(text.codePointAt(end))
+    beforeOk && afterOk
+  }
 
   def compile(regex: Option[String], caseSensitive: Boolean): Pattern = regex match {
     case None => null

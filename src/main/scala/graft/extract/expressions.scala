@@ -87,7 +87,8 @@ case class ExtractMentions(child: Expression, gazetteer: Gazetteer, withSpanIds:
     val v = child.eval(input)
     if (v == null) return new GenericArrayData(Array.empty[Any])
     val text = v.asInstanceOf[UTF8String].toString
-    val all = gazetteer.findAll(text)
+    val all = gazetteer.findAllRaw(text) // UTF-16 indices for substring
+    val convert = graft.core.CodePoints.hasSupplementary(text)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
     var ci = 0
     while (ci < all.length) {
@@ -96,13 +97,17 @@ case class ExtractMentions(child: Expression, gazetteer: Gazetteer, withSpanIds:
         val conceptId = gazetteer.concepts(ci).wikibaseId
         spans.foreach { s =>
           val surface = text.substring(s.start, s.end)
+          // emitted offsets (and the ids derived from them) are codepoint-
+          // based, matching the reference's Python string indices
+          val cpStart = if (convert) text.codePointCount(0, s.start) else s.start
+          val cpEnd = if (convert) text.codePointCount(0, s.end) else s.end
           val spanId =
-            if (withSpanIds) UTF8String.fromString(Identifier8.spanId(text, s.start, s.end, conceptId))
+            if (withSpanIds) UTF8String.fromString(Identifier8.spanId(text, cpStart, cpEnd, conceptId))
             else null
           rows += InternalRow(
             idsUtf8(ci),
-            s.start,
-            s.end,
+            cpStart,
+            cpEnd,
             UTF8String.fromString(surface),
             spanId
           )

@@ -30,13 +30,26 @@ object Aggregations {
     * per conversation. Returns violating conversations (empty == aligned).
     * Input: (classifier_id, conv_id, turn_idx) coverage rows. */
   def alignmentViolations(coverage: DataFrame): DataFrame = {
+    // per (conv, classifier): an order-independent SET signature of the turn
+    // ids (count + xor-fold of hashes), so same-count-different-set
+    // misalignments are caught, not just length mismatches
     val perClf = coverage
+      .select("conv_id", "classifier_id", "turn_idx")
+      .distinct()
       .groupBy("conv_id", "classifier_id")
-      .agg(countDistinct("turn_idx").as("n_turns"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        bit_xor(xxhash64(col("turn_idx"))).as("turn_set_sig")
+      )
+    val totalClassifiers = coverage.select("classifier_id").distinct().count()
     perClf
       .groupBy("conv_id")
-      .agg(min("n_turns").as("min_turns"), max("n_turns").as("max_turns"))
-      .where(col("min_turns") =!= col("max_turns"))
+      .agg(
+        countDistinct(struct(col("n_turns"), col("turn_set_sig"))).as("n_signatures"),
+        count(lit(1)).as("n_classifiers")
+      )
+      .where(col("n_signatures") > 1 || col("n_classifiers") < totalClassifiers)
+      .select("conv_id")
   }
 
   /** G4 model-field parse (flows/aggregate.py:141-171): new format

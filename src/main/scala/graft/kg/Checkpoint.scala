@@ -67,8 +67,14 @@ object Checkpoint {
     val out = transform(todo)
     require(out.columns.contains("bucket"), s"stage $stage dropped the bucket column")
 
+    // dynamic partition OVERWRITE, not append: if a run dies after the data
+    // commit but before the lineage write, the bucket has no 'ok' row and
+    // will be reprocessed — overwrite makes that reprocessing idempotent
+    // (the rewritten bucket partitions replace the orphaned ones) instead of
+    // silently duplicating rows
     out.write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(dataPath(dir))
 

@@ -80,6 +80,25 @@ class AggregationsSpec extends AnyFunSuite {
     // top-up path: 42 = 4*10 + 2 extra
     val c = Sampling.balancedSample(df, Seq("stratum"), sampleSize = 42, seed = 7L)
     assert(c.count() == 42)
+    // undersized stratum: its deficit is topped up from other strata
+    // (sampling.py computes missing_rows from the actual result size)
+    val skewed = ((1 to 100).map(i => (i.toLong, s"s${i % 2}")) ++ Seq((900L, "rare")))
+      .toDF("id", "stratum")
+    val d = Sampling.balancedSample(skewed, Seq("stratum"), sampleSize = 30, seed = 7L)
+    assert(d.count() == 30) // quota 10/stratum, 'rare' has 1 row, 9 topped up
+  }
+
+  test("G1 alignment: same turn COUNT but different turn SET is a violation") {
+    val cov = Seq(
+      ("clf1", "c1", 0), ("clf1", "c1", 1), ("clf1", "c1", 2),
+      ("clf2", "c1", 0), ("clf2", "c1", 1), ("clf2", "c1", 3) // same count, different set
+    ).toDF("classifier_id", "conv_id", "turn_idx")
+    assert(Aggregations.alignmentViolations(cov).collect().map(_.getString(0)).toSeq == Seq("c1"))
+    // a classifier missing a conversation entirely is also a violation
+    val cov2 = Seq(
+      ("clf1", "c1", 0), ("clf2", "c1", 0), ("clf1", "c2", 0)
+    ).toDF("classifier_id", "conv_id", "turn_idx")
+    assert(Aggregations.alignmentViolations(cov2).collect().map(_.getString(0)).toSeq == Seq("c2"))
   }
 
   test("J7/O4 surface linking: preferred label wins, else most-common concept") {

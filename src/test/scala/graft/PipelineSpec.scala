@@ -77,6 +77,18 @@ class PipelineSpec extends AnyFunSuite {
     val n3 = Checkpoint.runResumable(spark, turns, "conv_id", out, "mentions", "run3")(stage)
     assert(n3 == 0)
 
+    // crash-window idempotence: simulate a run that wrote a bucket's data
+    // but died before the lineage commit — delete that bucket's lineage rows
+    // and re-run; the bucket is reprocessed via partition overwrite with NO
+    // duplicate rows
+    val lineageDf = spark.read.parquet(Checkpoint.lineagePath(out))
+    val dropBucket = lineageDf.select("bucket").orderBy("bucket").limit(1).collect()(0).getInt(0)
+    val pruned = lineageDf.where($"bucket" =!= dropBucket).cache()
+    pruned.count()
+    pruned.write.mode("overwrite").parquet(Checkpoint.lineagePath(out))
+    val n4 = Checkpoint.runResumable(spark, turns, "conv_id", out, "mentions", "run4")(stage)
+    assert(n4 == 1)
+
     // resumed output == clean one-shot output
     val resumed = spark.read.parquet(Checkpoint.dataPath(out))
       .select("conv_id", "turn_idx", "concept_id", "start", "end")

@@ -29,6 +29,9 @@ class XmlFuzzySpec extends AnyFunSuite {
       val input = Option(c.get("input_text")).filterNot(_.isNull).map(_.asText())
       if (!c.get("valid").asBoolean()) {
         assertThrows[SpanXml.SpanXmlFormatError](SpanXml.fromXml(xml, "Q42", Vector("llm"), input))
+      } else if (Option(c.get("raises")).exists(_.asBoolean())) {
+        // the reference raises span validation errors on these inputs
+        assertThrows[Exception](SpanXml.fromXml(xml, "Q42", Vector("llm"), input))
       } else {
         val got = SpanXml.fromXml(xml, "Q42", Vector("llm"), input)
         val want = c.get("expected").asScala.toVector.map(e => (e.get(0).asInt(), e.get(1).asInt()))

@@ -86,5 +86,14 @@ case("abc def", ["abc", "def", "bc de"], texts=[
 ])
 # label that is a prefix of another token
 case("cat", ["cat flap"], texts=["cat flap catflap cat-flap", "the cat, a catflap"])
+
+# unicode edge semantics: Kelvin sign / long s casefold to ascii under
+# IGNORECASE; supplementary-plane word chars are word boundaries; control
+# chars U+001C-1F are neither \w nor \s
+case("kelvin", texts=["the \u212aELVIN scale", "kelvin and KELVIN", "\u212aelvin x"])
+case("gas", texts=["\U0001D400gas", "emoji \U0001F642gas after", "gas\U0001D400 x",
+                   "a gas b", "gas\u001cx", "a\u001cgas"])
+case("si unit", texts=["\u017fi unit test", "SI UNIT", "si\u001cunit", "si unit"])
+case("greenhouse gas", texts=["greenhouse\u001cgas", "greenhouse\u000bgas", "greenhouse\u1680gas"])
 json.dump(cases, open(sys.argv[1], "w"), indent=1, ensure_ascii=False)
 print(f"{len(cases)} cases, {sum(len(c['texts']) for c in cases)} texts")

@@ -20,6 +20,17 @@ for n in (3, 8, 30, 60):
     ratio_cases.append({"a": a, "b": c, "ratio": SequenceMatcher(None, a, c).ratio()})
 ratio_cases.append({"a": "", "b": "", "ratio": 1.0})
 ratio_cases.append({"a": "abc", "b": "", "ratio": 0.0})
+# autojunk popular-crossing extension cases (>=200-char b, popular chars
+# adjacent to indexed chars — difflib extends matches across them)
+rng2 = random.Random(31337)
+pop_alpha = ",;.xz abce"
+for _ in range(20):
+    a = "".join(rng2.choice(pop_alpha) for _ in range(rng2.randint(8, 40)))
+    b = "".join(rng2.choice(pop_alpha) for _ in range(rng2.randint(200, 300)))
+    ratio_cases.append({"a": a, "b": b, "ratio": SequenceMatcher(None, a, b).ratio()})
+ratio_cases.append({"a": ",zz,,xz,c;e,  ,bz,a.zzc;;za,;z;",
+                    "b": ("z," * 90) + ",xz,c;e,bz" + ("a;" * 5),
+                    "ratio": SequenceMatcher(None, ",zz,,xz,c;e,  ,bz,a.zzc;;za,;z;", ("z," * 90) + ",xz,c;e,bz" + ("a;" * 5)).ratio()})
 long_b = ("z" * 150) + "needle in haystack " + ("q" * 80)
 ratio_cases.append({"a": "needle in haystack", "b": long_b,
                     "ratio": SequenceMatcher(None, "needle in haystack", long_b).ratio()})
@@ -28,8 +39,13 @@ xml_cases = []
 def xml_case(xml, input_text=None, concept_id="Q42", valid=True):
     rec = {"xml": xml, "input_text": input_text, "concept_id": concept_id, "valid": valid}
     if valid:
-        spans = Span.from_xml(xml=xml, concept_id=concept_id, labellers=["llm"], input_text=input_text)
-        rec["expected"] = [[s.start_index, s.end_index, s.text] for s in spans]
+        try:
+            spans = Span.from_xml(xml=xml, concept_id=concept_id, labellers=["llm"], input_text=input_text)
+            rec["expected"] = [[s.start_index, s.end_index, s.text] for s in spans]
+        except Exception:
+            # the reference raises (pydantic span validation) — record that
+            # as the expected behavior class
+            rec["raises"] = True
     xml_cases.append(rec)
 
 xml_case("no tags at all")
@@ -44,6 +60,10 @@ xml_case("the <concept>climate  adaptation</concept> plan",
 # unalignable span
 xml_case("<concept>totally unrelated</concept> text",
          input_text="nothing matches here at all in any way")
+# newline inside a concept group: the reference regex has no DOTALL, so
+# the pair does NOT match (and tag-stripping still removes both tags)
+xml_case("a <concept>gas\ntax</concept> ok <concept>flood</concept> x")
+xml_case("pre <concept>one</concept> mid <concept>two\nlines</concept> post")
 # invalid formats
 xml_case("</concept>backwards<concept>", valid=False)
 xml_case("<concept>nested <concept>tags</concept></concept>", valid=False)
@@ -56,6 +76,11 @@ for (inp, span, start) in [
     ("the climate adaption plan", "climate adaptation", 4),
     ("nothing here", "absent phrase", 0),
     ("offset off by some distance gas tax end", "gas tax", 5),
+    # python-slice clamping: out-of-range offsets, empty span text
+    ("short text", "", -1),
+    ("short text", "", 9999),
+    ("short text", "text", 9999),
+    ("abcdef", "cde", -3),
 ]:
     got = find_span_text_in_input_text(input_text=inp, span_text=span, span_start_index=start)
     fuzzy_cases.append({"input": inp, "span": span, "start": start,
