@@ -8,10 +8,12 @@ sys.argv = [sys.argv[0], "/tmp/fuzz_cases.json"]  # input for ref_oracle pattern
 rng = random.Random(20260816)
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
-UNI = "éüßñøåçΔλ語ж"
+UNI = "éüßñøåçΔλ語ж" + chr(0x212A) + chr(0x17F)  # + kelvin sign, long s
 SEPS = [" ", "-", "–", "—", "\n", "\t"]
 NOISE_WORDS = ["lorem", "ipsum", "POLICY", "Climate", "x9", "_v", "naïve",
-               "end.", "(a)", "b,c", "«d»", "CO₂e", "ΔT", "中文", "the", "of"]
+               "end.", "(a)", "b,c", "«d»", "CO₂e", "ΔT", "中文", "the", "of",
+               chr(0x1D400) + "bold", chr(0x1F642), chr(0x1D7D8) + "x",
+               "pre" + chr(0x1F680), chr(0x1C) + "fs", "a" + chr(0x1C) + "b"]
 
 def word(maxlen=8, unicode_p=0.15, upper_p=0.15):
     n = rng.randint(1, maxlen)
