@@ -154,8 +154,11 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
-    println(
+    val json =
       f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
-    )
+    // bare stdout line (run is forked with StdoutOutput — no [info] prefix)
+    // plus a file copy, so the driver can parse the metric either way
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
   }
 }

@@ -52,7 +52,7 @@ object SparkEntry {
       KgPipeline
         .orderedTurns(Transcripts.read(s, dir))
         .select("conv_id", "turn_idx", "turn_seq", "text")),
-    "kg_mentions" -> ((s, dir) => mentions(s, dir)), // span grain: rows-only check
+    "kg_mentions" -> ((s, dir) => mentions(s, dir)), // span grain vs executed-reference fixture
     "kg_mention_counts" -> ((s, dir) => KgPipeline.mentionCounts(mentions(s, dir))),
     "kg_vespa_concepts" -> ((s, dir) => KgPipeline.vespaConcepts(s, mentions(s, dir))),
     "kg_concept_counts" -> ((s, dir) => KgPipeline.conceptCounts(s, mentions(s, dir))),
@@ -61,10 +61,40 @@ object SparkEntry {
       KgPipeline.nodes(s, KgPipeline.eligibleTurns(Transcripts.read(s, dir)), KgPipeline.defaultConcepts)),
     "kg_cooccurrence" -> ((s, dir) => KgPipeline.cooccurrence(mentions(s, dir))),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
-    // rows-only checks (array / linking outputs not SQL-oracle-expressible)
+    // array outputs are projected to deterministic strings (the driver's
+    // pandas comparator can't hash array cells); arrays are sorted upstream
     "kg_passage_concepts" -> ((s, dir) =>
-      graft.kg.Aggregations.mentionsPerTurn(mentions(s, dir))),
-    "kg_spans_v2" -> ((s, dir) => graft.kg.Aggregations.spansV2(mentions(s, dir))),
+      graft.kg.Aggregations
+        .mentionsPerTurn(mentions(s, dir))
+        .select(
+          col("conv_id"),
+          col("turn_idx"),
+          concat_ws(
+            ";",
+            transform(
+              col("concepts"),
+              m =>
+                concat_ws(
+                  ":",
+                  m.getField("start").cast("string"),
+                  m.getField("end").cast("string"),
+                  m.getField("concept_id"),
+                  m.getField("span_id")
+                )
+            )
+          ).as("concepts_str"),
+          col("n_spans")
+        )),
+    "kg_spans_v2" -> ((s, dir) =>
+      graft.kg.Aggregations
+        .spansV2(mentions(s, dir))
+        .select(
+          col("conv_id"),
+          col("turn_idx"),
+          col("start"),
+          col("end"),
+          array_join(col("concepts_v2"), ",").as("concepts_v2_str")
+        )),
     "kg_linked_surfaces" -> ((s, dir) =>
       graft.kg.Linking.linkSurfaces(s, mentions(s, dir), KgPipeline.defaultConcepts)),
     "kg_canonical_mentions" -> ((s, dir) =>
@@ -81,7 +111,14 @@ object SparkEntry {
         .select(col("bucket"), col("n_turns"), coalesce(col("n_mentions"), lit(0L)).as("n_mentions"))
     }),
     // ---- dedup -------------------------------------------------------------
-    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // the synthetic corpus has no byte-identical duplicates, so the exact-dedup
+    // input plants them deterministically (every 7th doc re-keyed) — the oracle
+    // mirrors the same construction, and the query asserts on non-empty groups
+    "dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.where(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.exact(d.unionByName(planted))
+    }),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), threshold = 0.5).select("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3).select("doc_a", "doc_b")),
@@ -248,6 +285,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "kg_transcripts" -> OracleGen.transcriptsSql,
     "kg_turns_ordered" -> OracleGen.turnsOrderedSql,
+    "kg_mentions" -> OracleGen.mentionsSql,
+    "kg_passage_concepts" -> OracleGen.passageConceptsSql,
+    "kg_spans_v2" -> OracleGen.spansV2Sql,
+    "kg_linked_surfaces" -> OracleGen.linkedSurfacesSql,
+    "kg_canonical_mentions" -> OracleGen.canonicalMentionsSql,
     "kg_mention_counts" -> OracleGen.mentionCountsSql,
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
     "kg_concept_counts" -> OracleGen.conceptCountsSql,
@@ -257,7 +299,12 @@ object SparkEntry {
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_lineage" -> OracleGen.lineageSql,
     "dedup_exact" ->
-      "SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS representative FROM documents GROUP BY 1 HAVING count(*) > 1",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS representative
+        |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, substr(text, 1, 40) AS block,
@@ -303,6 +350,22 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint FROM documents",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  (list_max([
+        |    {'h': len(list_filter(toks, x -> list_contains(['the','and','of','is','was','with'], x))), 'l': 'en'},
+        |    {'h': len(list_filter(toks, x -> list_contains(['der','und','die','ist','mit','das'], x))), 'l': 'de'},
+        |    {'h': len(list_filter(toks, x -> list_contains(['le','et','la','est','avec','les'], x))), 'l': 'fr'},
+        |    {'h': len(list_filter(toks, x -> list_contains(['el','y','la','es','con','los'], x))), 'l': 'es'}
+        |  ])).l AS predicted_lang,
+        |  CAST(lang AS VARCHAR) AS declared_lang
+        |FROM t""".stripMargin,
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, length(text) // 64)) AS i, text FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f WHERE i % 4 = 0""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       CAST(greatest(1, (n_chars % 640 + 1) // 4) AS INT) AS thumb_width,

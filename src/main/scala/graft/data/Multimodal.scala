@@ -74,24 +74,31 @@ object Multimodal {
   }
 
   /** Frame sampling contract for video-shaped payloads: split a payload into
-    * fixed-size "frames" and keep every `stride`-th — pure column plan. */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    * fixed-size COMPLETE frames and keep every `stride`-th — pure column plan.
+    * Payloads shorter than one frame yield no rows (sequence(0, -1) would
+    * otherwise emit a descending [0, -1] index pair — a real Spark footgun). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val nFrames = (length(col("payload")) / frameBytes).cast("int")
     media
       .select(
         col("doc_id"),
         explode(
           filter(
-            transform(
-              sequence(lit(0), (length(col("payload")) / frameBytes).cast("int") - 1),
-              i =>
-                struct(
-                  i.as("frame_idx"),
-                  substring(col("payload"), i * frameBytes + 1, lit(frameBytes)).as("frame")
-                )
-            ),
+            when(
+              nFrames > 0,
+              transform(
+                sequence(lit(0), nFrames - 1),
+                i =>
+                  struct(
+                    i.as("frame_idx"),
+                    substring(col("payload"), i * frameBytes + 1, lit(frameBytes)).as("frame")
+                  )
+              )
+            ).otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>")),
             s => s.getField("frame_idx") % stride === 0
           )
         ).as("f")
       )
       .select(col("doc_id"), col("f.frame_idx").as("frame_idx"), col("f.frame").as("frame"))
+  }
 }

@@ -41,14 +41,18 @@ object Aggregations {
         count(lit(1)).as("n_turns"),
         bit_xor(xxhash64(col("turn_idx"))).as("turn_set_sig")
       )
-    val totalClassifiers = coverage.select("classifier_id").distinct().count()
+    // total classifier count as a broadcast scalar subquery (1-row cross
+    // join), NOT a driver-side .count(): building this plan must not run a job
+    val totalClassifiers = coverage
+      .agg(countDistinct(col("classifier_id")).as("total_classifiers"))
     perClf
       .groupBy("conv_id")
       .agg(
         countDistinct(struct(col("n_turns"), col("turn_set_sig"))).as("n_signatures"),
         count(lit(1)).as("n_classifiers")
       )
-      .where(col("n_signatures") > 1 || col("n_classifiers") < totalClassifiers)
+      .crossJoin(broadcast(totalClassifiers))
+      .where(col("n_signatures") > 1 || col("n_classifiers") < col("total_classifiers"))
       .select("conv_id")
   }
 

@@ -139,21 +139,131 @@ object OracleGen {
        |FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
        |GROUP BY 1, 2""".stripMargin
 
-  val canonicalSql: String = {
+  /** Component-edge VALUES list shared by the canonical oracles. */
+  private def componentEdgeValues: String = {
     val ids = concepts.map(_.wikibaseId).toSet
     val pairs =
       DemoConceptStore.conceptEdges.collect { case (s, _, o) if ids(s) && ids(o) => (s, o) } ++
         DemoConceptStore.surfaceEdges.filter { case (_, c) => ids(c) }
-    val values = pairs.map { case (s, d) => s"('${sq(s)}', '${sq(d)}')" }.mkString(", ")
-    s"""WITH RECURSIVE e(src, dst) AS (SELECT * FROM (VALUES $values)),
+    pairs.map { case (s, d) => s"('${sq(s)}', '${sq(d)}')" }.mkString(", ")
+  }
+
+  /** Recursive-CTE member list computing (node, component) — min-reachable-id
+    * connected components, the independent cross-check of the engine's
+    * star-contraction CC. Use inside a WITH RECURSIVE prologue. */
+  private def componentCtes: String =
+    s"""e(src, dst) AS (SELECT * FROM (VALUES $componentEdgeValues)),
        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |nodes AS (SELECT DISTINCT src AS node FROM und),
        |reach(node, r) AS (
        |  SELECT node, node FROM nodes
        |  UNION
-       |  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r)
-       |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin
-  }
+       |  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r),
+       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
+
+  val canonicalSql: String =
+    s"""WITH RECURSIVE $componentCtes
+       |SELECT node, component FROM comp""".stripMargin
+
+  // ---- executed-reference span-grain oracles --------------------------------
+  //
+  // The span grain (start/end/surface/span_id) is not SQL-expressible, so the
+  // oracle joins turns onto a parquet fixture of spans produced by RUNNING the
+  // reference KeywordClassifier over every distinct corpus text
+  // (tools/gen_ref_mentions.py). Mentions are a pure function of
+  // (text, concept store) — the reference's Span.id is
+  // Identifier.generate(text, start, end, concept_id)
+  // (/root/reference/knowledge_graph/span.py:82-91) — so keying by md5(text)
+  // is exact at any scale factor.
+
+  val refMentionsPath: String = "/root/repo/src/test/resources/ref_mentions.parquet"
+
+  val refMentionsCte: String =
+    s"""ref_mentions AS (
+       |  SELECT t.conv_id, t.turn_idx, m.concept_id, m.start, m."end", m.surface, m.span_id
+       |  FROM turns t JOIN read_parquet('$refMentionsPath') m ON md5(t.text) = m.text_md5)""".stripMargin
+
+  val mentionsSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte
+       |SELECT conv_id, turn_idx, concept_id, start, "end", surface, span_id FROM ref_mentions""".stripMargin
+
+  /** G1 per-turn collated span arrays, stringified exactly like the Spark
+    * registration (sorted by (start, end, concept_id, span_id), ':'-joined
+    * fields, ';'-joined spans). */
+  val passageConceptsSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte
+       |SELECT conv_id, turn_idx,
+       |  array_to_string(list(
+       |      CAST(start AS VARCHAR) || ':' || CAST("end" AS VARCHAR) || ':' || concept_id || ':' || span_id
+       |      ORDER BY start, "end", concept_id, span_id), ';') AS concepts_str,
+       |  COUNT(*) AS n_spans
+       |FROM ref_mentions GROUP BY conv_id, turn_idx""".stripMargin
+
+  /** G5 v2 spans: identical (start, end) intervals grouped per turn, distinct
+    * sorted concept list stringified. */
+  val spansV2Sql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte
+       |SELECT conv_id, turn_idx, start, "end",
+       |  array_to_string(list_sort(list(DISTINCT concept_id)), ',') AS concepts_v2_str
+       |FROM ref_mentions GROUP BY conv_id, turn_idx, start, "end"""".stripMargin
+
+  /** Dictionary VALUES for the linking oracles: (label_lc, concept_id, kind)
+    * for every preferred and alternative label — the SQL twin of the
+    * broadcast dictionary in Linking.linkSurfaces. */
+  private def dictValues: String =
+    concepts
+      .flatMap { c =>
+        (s"('${sq(c.preferredLabel.toLowerCase)}', '${c.wikibaseId}', 'preferred')") +:
+          c.alternativeLabels.map(l => s"('${sq(l.toLowerCase)}', '${c.wikibaseId}', 'alternative')")
+      }
+      .mkString(", ")
+
+  /** Linking-scoring CTE members over ref_mentions: candidate ranking
+    * (preferred beats alternative, then per-concept corpus frequency, then
+    * concept id) — the SQL twin of Linking.linkSurfaces' max_by. */
+  private def linkedCtes: String =
+    s"""dict(label, dict_concept_id, link_kind) AS (SELECT * FROM (VALUES $dictValues)),
+       |surf_freq AS (SELECT lower(surface) AS label, COUNT(*) AS n_occurrences FROM ref_mentions GROUP BY 1),
+       |concept_freq AS (SELECT lower(surface) AS label, concept_id AS dict_concept_id, COUNT(*) AS cf FROM ref_mentions GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT s.label, d.dict_concept_id, d.link_kind, s.n_occurrences, COALESCE(f.cf, 0) AS cf
+       |  FROM surf_freq s JOIN dict d ON s.label = d.label
+       |  LEFT JOIN concept_freq f ON f.label = s.label AND f.dict_concept_id = d.dict_concept_id),
+       |ranked AS (
+       |  SELECT label, dict_concept_id, link_kind, n_occurrences,
+       |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY
+       |           CASE WHEN link_kind = 'preferred' THEN 1 ELSE 0 END DESC, cf DESC, dict_concept_id DESC) AS rn
+       |  FROM cand),
+       |linked AS (SELECT label, dict_concept_id, link_kind, n_occurrences FROM ranked WHERE rn = 1)""".stripMargin
+
+  val linkedSurfacesSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |$linkedCtes
+       |SELECT label AS surface, dict_concept_id AS concept_id, link_kind, n_occurrences FROM linked""".stripMargin
+
+  /** J7 end-to-end: every mention row with its linked concept and canonical
+    * component id (KgPipeline.canonicalizeMentions). */
+  val canonicalMentionsSql: String =
+    s"""WITH RECURSIVE $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |$linkedCtes,
+       |$componentCtes
+       |SELECT m.conv_id, m.turn_idx, m.concept_id, m.start, m."end", m.surface,
+       |       COALESCE(l.dict_concept_id, m.concept_id) AS linked_concept_id,
+       |       COALESCE(l.link_kind, 'extraction') AS link_kind,
+       |       COALESCE(c.component, m.concept_id) AS canonical_id
+       |FROM ref_mentions m
+       |LEFT JOIN linked l ON lower(m.surface) = l.label
+       |LEFT JOIN comp c ON c.node = m.concept_id""".stripMargin
 
   val lineageSql: String =
     s"""WITH $transcriptsCte,
