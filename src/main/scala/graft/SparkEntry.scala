@@ -121,8 +121,17 @@ object SparkEntry {
     }),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), threshold = 0.5).select("doc_a", "doc_b")),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3).select("doc_a", "doc_b")),
+    // oracle-checked simhash runs the portable md5-based 60-bit token hash so
+    // DuckDB can recompute signatures from scratch; prod default is xxhash64
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup
+        .simhashPairs(docs(s, dir), maxHamming = 3, nBits = 60, tokenHash = Dedup.portableTokenHash)
+        .select("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDups(emb(s, dir), nQueries = 200, threshold = 0.4)),
+    // scale path: IVF-cell-blocked candidates + exact verify, same oracle as
+    // the brute-force baseline (recall 1.0 at nProbe=6/16 on this corpus)
+    "dedup_embedding_ivf" -> ((s, dir) =>
+      Similarity.embeddingNearDupsIvf(emb(s, dir), nQueries = 200, threshold = 0.4)),
     // ---- similarity search --------------------------------------------------
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), nQueries = 50, k = 10)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), nQueries = 50, k = 10)),
@@ -305,6 +314,8 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS representative
         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dedup_minhash" -> graft.data.DedupOracles.minhashSql(0.5),
+    "dedup_simhash" -> graft.data.DedupOracles.simhashSql(60, 3),
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, substr(text, 1, 40) AS block,
@@ -326,6 +337,13 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
         |  FROM s) WHERE rank <= 10""".stripMargin,
     "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    // the IVF-blocked variant must reproduce the brute-force pair set exactly
+    "dedup_embedding_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b

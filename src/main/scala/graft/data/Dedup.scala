@@ -95,7 +95,15 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = docs.select(col("doc_id"), shingles("text").as("sh"))
+    // semi-join-prune the corpus to candidate ids (broadcast) BEFORE
+    // materializing shingle arrays: verification then shuffles only the few
+    // candidate docs' arrays, not every doc's
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles("text").as("sh"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -108,30 +116,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit b of the signature is the
-    * sign of sum over tokens of ±1 according to bit b of xxhash64(token).
-    * One explode + one groupBy with 64 codegen'd conditional sums. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Deterministic 60-bit token hash reproducible in DuckDB SQL: the first
+    * 15 hex chars of md5, parsed base-16 (fits a signed long without
+    * overflow). Used by the oracle-checked simhash variant — the production
+    * default stays xxhash64 (cheaper, but not SQL-reproducible). */
+  def portableTokenHash(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** nBits-wide SimHash over whitespace tokens: bit b of the signature is
+    * the sign of sum over tokens of ±1 according to bit b of tokenHash(tok).
+    * One explode + one groupBy with nBits codegen'd conditional sums. */
+  def simhash(
+      docs: DataFrame,
+      nBits: Int = 64,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_)
+  ): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val withH = toks.withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+    val withH = toks.withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until nBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
     }
     val agg = withH.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until nBits)
       .map(b => when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs under a Hamming-distance bound, blocked on
-    * 16-bit signature chunks (a pair within distance d <= 3 must agree on at
-    * least one of 4 chunks — pigeonhole), so no all-pairs comparison. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs)
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("v"))
-    )
+    * maxHamming+1 signature chunks: a pair within distance d <= maxHamming
+    * differs in at most maxHamming chunks, so it must agree on at least one
+    * (pigeonhole) — the blocking is provably lossless at any bound, and no
+    * all-pairs comparison ever happens. Chunk width nBits/(maxHamming+1)
+    * trades bucket selectivity against the bound (default 3 -> 16-bit
+    * chunks). */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      nBits: Int = 64,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_)
+  ): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nChunks <= nBits, s"need at least one bit per chunk: maxHamming=$maxHamming, nBits=$nBits")
+    val sigs = simhash(docs, nBits, tokenHash)
+    val chunks = (0 until nChunks).map { c =>
+      val start = c * nBits / nChunks
+      val width = (c + 1) * nBits / nChunks - start
+      val mask = (1L << width) - 1
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), start).bitwiseAND(mask).as("v"))
+    }
     val keyed = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
     val popcount = (x: org.apache.spark.sql.Column) => bit_count(x)

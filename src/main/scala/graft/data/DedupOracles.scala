@@ -1,0 +1,62 @@
+package graft.data
+
+/** DuckDB oracle SQL for the LSH dedup operators.
+  *
+  * Both oracles are EXACT all-pairs ground truth computed with a completely
+  * different strategy than the engine (no banding, no chunk blocking), so a
+  * green row proves the LSH candidate generation has recall 1.0 on the
+  * corpus, not just that the same code ran twice:
+  *
+  *  - MinHash: true Jaccard over word-3-gram shingles for every pair sharing
+  *    at least one shingle (a pair with Jaccard >= t > 0 must share one, so
+  *    the shingle-join prune loses nothing).
+  *  - SimHash: signatures recomputed from scratch in SQL (bit-sign sums over
+  *    a portable md5-based 60-bit token hash), all-pairs Hamming filter. The
+  *    engine's 4-chunk pigeonhole blocking is provably lossless for
+  *    maxHamming <= 3, so set equality is expected, not hoped for.
+  */
+object DedupOracles {
+
+  /** SQL twin of Dedup.shingles (word 3-grams, distinct; empty below 3
+    * tokens — range(negative) is empty in DuckDB). */
+  val shinglesExpr: String =
+    "list_distinct(list_transform(range(len(string_split(text, ' ')) - 2), " +
+      "i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]))"
+
+  def minhashSql(threshold: Double = 0.5): String =
+    s"""WITH sh AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b
+       |FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) >= $threshold""".stripMargin
+
+  /** SQL twin of Dedup.portableTokenHash: first 15 hex chars of md5 as a
+    * 60-bit integer. */
+  val tokenHashExpr: String = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+
+  def simhashSql(nBits: Int = 60, maxHamming: Int = 3): String = {
+    require(nBits % 4 == 0)
+    val chunkBits = nBits / 4
+    val bitSums = (0 until nBits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(", ")
+    val chunkExprs = (0 until 4)
+      .map { c =>
+        val bits = (0 until chunkBits)
+          .map(i => s"(CASE WHEN s_${c * chunkBits + i} > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+          .mkString(" | ")
+        s"($bits) AS c_$c"
+      }
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, $tokenHashExpr AS h FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $chunkExprs FROM bits)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.c_0, b.c_0)) + bit_count(xor(a.c_1, b.c_1))
+       |    + bit_count(xor(a.c_2, b.c_2)) + bit_count(xor(a.c_3, b.c_3)) <= $maxHamming""".stripMargin
+  }
+}

@@ -29,6 +29,29 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** The IVF centroid codebook (deterministic seeding: centroid c = embedding
+    * of vec_id c, no kmeans iterations needed for a recall-measured index),
+    * collected to the driver. This is a bounded model artifact — nCells rows,
+    * like a trained kmeans codebook or the broadcast gazetteer — and embedding
+    * it as plan literals turns every cell-assignment step into a map-only
+    * whole-stage-codegen projection: no join, no window, no shuffle. */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16): Seq[(Int, Seq[Double])] =
+    emb
+      .where(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), asDouble(col("embedding")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Ascending-sorted array of (negated cosine, cell) structs vs every
+    * codebook centroid — element 1 is the nearest cell (ties toward the
+    * lowest cell id), slice(.., 1, nProbe) the probe set. Pure projection. */
+  private def cellRanking(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    sort_array(array(cents.map { case (cell, c) =>
+      struct((-cosine(v, typedLit(c))).as("negd"), lit(cell).as("cell"))
+    }: _*))
+
   /** Exact top-k cosine neighbours for each query vector (vec_id < nQueries).
     * Output: (query_id, rank, neighbor_id) — scores are compared exactly
     * during ranking but not emitted (floating-point display stability). */
@@ -47,42 +70,36 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** IVF cell assignment: centroid c = embedding of vec_id c (deterministic
-    * seeding — no kmeans iterations needed for a recall-measured ANN index).
+  /** IVF cell assignment: nearest codebook cell per vector as a map-only
+    * projection over the literal codebook (ties toward the lowest cell id,
+    * matching the previous max_by(d, -cell) semantics).
     * Returns (vec_id, cell, v). */
   def ivfAssign(emb: DataFrame, nCells: Int = 16): DataFrame = {
-    val centroids = emb
-      .where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("c"))
-    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // argmin via max_by (partial-aggregating) rather than a full-corpus
-    // window: key = (similarity, -cell) so ties break toward the lowest cell
-    vecs
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cell"), col("v"), cosine(col("v"), col("c")).as("d"))
-      .groupBy("vec_id")
-      .agg(
-        max_by(struct(col("cell"), col("v")), struct(col("d"), -col("cell"))).as("best")
+    val cents = ivfCentroids(emb, nCells)
+    emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(
+        col("vec_id"),
+        element_at(cellRanking(col("v"), cents), 1).getField("cell").as("cell"),
+        col("v")
       )
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.v").as("v"))
   }
 
-  /** IVF-probed ANN top-k: each query scans only its nProbe nearest cells. */
+  /** IVF-probed ANN top-k: each query scans only its nProbe nearest cells.
+    * Probe selection is a projection over the literal codebook; the only
+    * wide ops left are the cell-keyed probe join and the per-query top-k. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 50, k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, nCells)
     val assigned = ivfAssign(emb, nCells)
-    val centroids = emb
-      .where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("c"))
-    val queries = emb
+    val probes = emb
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell").asc)
-    val probes = queries
-      .join(broadcast(centroids))
-      .select(col("query_id"), col("q"), col("cell"), cosine(col("q"), col("c")).as("d"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nProbe)
-      .select("query_id", "q", "cell")
+      .select(
+        col("query_id"),
+        col("q"),
+        explode(slice(cellRanking(col("q"), cents), 1, nProbe)).as("p")
+      )
+      .select(col("query_id"), col("q"), col("p.cell").as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     probes
       .join(assigned, "cell")
@@ -93,8 +110,57 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Probe sets: each vector's nProbe nearest codebook cells — a map-only
+    * projection (explode of a sliced sorted literal-codebook ranking), no
+    * join, no window, no shuffle. */
+  def probeAssign(emb: DataFrame, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, nCells)
+    emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))
+      .select(col("vec_id"), col("p.cell").as("cell"))
+  }
+
+  /** IVF-blocked embedding near-dup pairs — the scale path for corpus dedup.
+    * Candidates are pairs sharing at least one probed cell (a cell-keyed
+    * equi-join over probe assignments: each vector appears nProbe times,
+    * never all-pairs, no nested-loop join); only candidates get the exact
+    * cosine verification, and the vector table is semi-join-pruned to
+    * candidate ids (broadcast) before the wide arrays are shuffled.
+    * nProbe trades scan fraction for recall: 6/16 cells is measured
+    * recall 1.0 on this corpus even at the loose 0.4 threshold (a real
+    * near-dup threshold like 0.9 needs fewer probes). */
+  def embeddingNearDupsIvf(
+      emb: DataFrame,
+      nQueries: Int = 200,
+      threshold: Double = 0.4,
+      nCells: Int = 16,
+      nProbe: Int = 6
+  ): DataFrame = {
+    val probes = probeAssign(emb, nCells, nProbe)
+    val qProbes = probes.where(col("vec_id") < nQueries).select(col("vec_id").as("doc_a"), col("cell"))
+    val allProbes = probes.select(col("vec_id").as("doc_b"), col("cell"))
+    val cand = qProbes
+      .join(allProbes, "cell")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
+      .distinct()
+    val vecs = emb
+      .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    cand
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set
-    * (query_ids) vs the whole corpus. */
+    * (query_ids) vs the whole corpus — O(queries x corpus) broadcast NLJ,
+    * kept as the exact baseline; embeddingNearDupsIvf is the scale path. */
   def embeddingNearDups(emb: DataFrame, nQueries: Int = 200, threshold: Double = 0.95): DataFrame = {
     val corpus = emb.select(col("vec_id").as("doc_b"), asDouble(col("embedding")).as("v"))
     val queries = emb
