@@ -99,6 +99,9 @@ object SparkEntry {
       graft.kg.Linking.linkSurfaces(s, mentions(s, dir), KgPipeline.defaultConcepts)),
     "kg_canonical_mentions" -> ((s, dir) =>
       KgPipeline.canonicalizeMentions(s, mentions(s, dir))),
+    // G1 end-to-end across two real classifier passes (keyword + embedding)
+    "kg_multi_classifier" -> ((s, dir) =>
+      KgPipeline.collateClassifiers(KgPipeline.multiClassifierMentions(s, dir))),
     "kg_lineage" -> ((s, dir) => {
       val turns = KgPipeline
         .eligibleTurns(Transcripts.read(s, dir))
@@ -109,6 +112,23 @@ object SparkEntry {
       val mm = m.groupBy("bucket").agg(count(lit(1)).as("n_mentions"))
       t.join(mm, Seq("bucket"), "left")
         .select(col("bucket"), col("n_turns"), coalesce(col("n_mentions"), lit(0L)).as("n_mentions"))
+    }),
+    // geography fuzzy linking (geography.py:22-33): synthetic geography
+    // strings (dimension names with deterministic single-char drops) linked
+    // to ISO codes by the InDel-ratio expression
+    "kg_geography" -> ((s, dir) => {
+      val names = graft.core.Geography.dim.map(_._1)
+      val nm = element_at(typedLit(names), (col("doc_id") % names.size).cast("int") + 1)
+      val p = (col("doc_id") % 5).cast("int") + 2
+      val geoStr = when(
+        col("doc_id") % 3 === 0,
+        concat(substr(nm, lit(1), p - 1), substr(nm, p + 1, lit(1000000)))
+      ).otherwise(nm)
+      docs(s, dir).select(
+        col("doc_id"),
+        geoStr.as("geo_string"),
+        graft.extract.GeoLink.linkGeography(geoStr).as("iso")
+      )
     }),
     // ---- dedup -------------------------------------------------------------
     // the synthetic corpus has no byte-identical duplicates, so the exact-dedup
@@ -306,6 +326,8 @@ object SparkEntry {
     "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
     "kg_canonical" -> OracleGen.canonicalSql,
+    "kg_multi_classifier" -> OracleGen.multiClassifierSql,
+    "kg_geography" -> OracleGen.geographySql,
     "kg_lineage" -> OracleGen.lineageSql,
     "dedup_exact" ->
       """WITH corpus AS (

@@ -179,6 +179,34 @@ object KgPipeline {
     hasPassage.union(mentionEdges).union(conceptEdges)
   }
 
+  /** MERGE-semantics triple sink — the parquet stand-in for Cypher MERGE /
+    * Iceberg MERGE INTO (update_neo4j.py:107-124): dynamic-partition
+    * overwrite keyed by conversation bucket, so re-running ANY overlapping
+    * set of complete conversations is idempotent (each rewritten partition is
+    * complete w.r.t. its conversations). Concept-store edges go to a
+    * DEDICATED bucket: they are re-emitted in full by every run, so that
+    * partition is always complete — routing them by subj hash would let a
+    * partial run clobber conversation buckets it did not rewrite. */
+  def writeTriplesMerge(
+      spark: SparkSession,
+      turns: DataFrame,
+      concepts: Vector[Concept],
+      path: String,
+      nBuckets: Int = 64
+  ): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val tr = triplesFromTurns(spark, turns, concepts)
+    val convKey = regexp_extract(col("subj"), "^([^_]+)", 1)
+    val bucket = when(col("pred").isin("SUBCONCEPT_OF", "RELATED_TO"), lit(nBuckets))
+      .otherwise(pmod(xxhash64(convKey), lit(nBuckets.toLong)).cast("int"))
+    tr.withColumn("bucket", bucket.cast("int"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
   /** Triples from pre-materialized span-grain mentions (when the mentions
     * table already exists — e.g. resuming from a checkpointed mentions
     * layer). Prefer triplesFromTurns when extracting fresh: it skips the
@@ -276,6 +304,79 @@ object KgPipeline {
         coalesce(col("canonical_id"), col("concept_id")).as("canonical_id")
       )
   }
+
+  /** Classifier identity for the embedding pass, mirroring the reference's
+    * per-(classifier-class, concept) ids (classifier/classifier.py analog of
+    * keyword.py:192-195). */
+  def embeddingClassifierId(c: Concept): String =
+    Identifier8.generate("EmbeddingClassifier", c.id)
+
+  /** G1 multi-classifier mentions: TWO genuinely different classifier passes
+    * over the SAME turn set — the fused keyword gazetteer (per-concept
+    * counts, classifier ids per the reference's KeywordClassifier identity)
+    * and a passage-grain embedding classifier (deterministic synthetic turn
+    * embeddings derived from the reconstructed doc id, sequential-fold cosine
+    * vs a fixed concept vector, so the DuckDB oracle reproduces it
+    * bit-exactly) — unioned into one
+    * (classifier_id, conv_id, turn_idx, concept_id, n_mentions) table: the
+    * reference's {classifier: labelled passages} fan-in
+    * (flows/aggregate.py:301-408). */
+  def multiClassifierMentions(
+      spark: SparkSession,
+      sfDir: String,
+      concepts: Vector[Concept] = defaultConcepts,
+      threshold: Double = 0.45
+  ): DataFrame = {
+    import spark.implicits._
+    val turns = eligibleTurns(Transcripts.read(spark, sfDir))
+    val clfDim = concepts
+      .map(c => (c.wikibaseId, DemoConceptStore.classifierId(c)))
+      .toDF("concept_id", "classifier_id")
+    val kw = extractMentions(spark, turns, concepts)
+      .toDF()
+      .groupBy("conv_id", "turn_idx", "concept_id")
+      .agg(count(lit(1)).as("n_mentions"))
+      .join(broadcast(clfDim), Seq("concept_id"))
+      .select("classifier_id", "conv_id", "turn_idx", "concept_id", "n_mentions")
+
+    val dim = 8
+    val docId = col("turn_idx").cast("long") * Transcripts.ConvBuckets +
+      regexp_extract(col("conv_id"), "([0-9]+)$", 1).cast("long")
+    // +i+1 keeps every synthetic vector non-zero (doc 0 would otherwise be
+    // the zero vector and ANSI-fail the cosine's norm division)
+    val e = transform(sequence(lit(0), lit(dim - 1)), i => ((docId * (i + 3) + i + 1) % 101).cast("double") / 101.0)
+    val cvec = transform(sequence(lit(0), lit(dim - 1)), i => ((i * 5 + 2) % 101).cast("double") / 101.0)
+    val target = concepts.find(_.wikibaseId == "Q15").getOrElse(concepts.head)
+    val emb = turns
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"), graft.data.Similarity.cosine(e, cvec).as("prob"))
+      .where(col("prob") >= threshold)
+      .select(
+        lit(embeddingClassifierId(target)).as("classifier_id"),
+        col("conv_id"),
+        col("turn_idx"),
+        lit(target.wikibaseId).as("concept_id"),
+        lit(1L).as("n_mentions")
+      )
+    kw.unionByName(emb)
+  }
+
+  /** Cross-classifier collation at the turn grain (G1): every classifier's
+    * labels for one passage folded into a deterministic sorted string plus
+    * the distinct classifier count — the driver-comparable long format of the
+    * reference's per-document {text_block_id: [concepts]} map. */
+  def collateClassifiers(m: DataFrame): DataFrame =
+    m.groupBy("conv_id", "turn_idx")
+      .agg(
+        concat_ws(
+          ";",
+          sort_array(
+            collect_list(
+              concat_ws(":", col("classifier_id"), col("concept_id"), col("n_mentions").cast("string"))
+            )
+          )
+        ).as("models_str"),
+        countDistinct(col("classifier_id")).as("n_classifiers")
+      )
 
   /** A8 passage consolidation (labelled_passage.py:140-185): merge passages
     * sharing an id (id = content hash of the text), concatenating spans and

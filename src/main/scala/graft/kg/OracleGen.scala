@@ -265,6 +265,61 @@ object OracleGen {
        |LEFT JOIN linked l ON lower(m.surface) = l.label
        |LEFT JOIN comp c ON c.node = m.concept_id""".stripMargin
 
+  /** Geography fuzzy linking (geography.py:22-33): the synthetic geography
+    * strings are re-derived with the same doc_id arithmetic, and expected ISO
+    * codes come from an INDEPENDENT python DP implementation of rapidfuzz's
+    * InDel ratio (tools/gen_geo_vectors.py fixture). */
+  val geographySql: String = {
+    val names = graft.core.Geography.dim.map { case (n, _) => s"'${sq(n)}'" }.mkString(", ")
+    val n = graft.core.Geography.dim.size
+    s"""WITH base AS (
+       |  SELECT doc_id, list_extract([$names], CAST(doc_id % $n AS INT) + 1) AS nm,
+       |         CAST(doc_id % 5 AS INT) + 2 AS p
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN substr(nm, 1, p - 1) || substr(nm, p + 1, 1000000) ELSE nm END AS geo_string
+       |  FROM base)
+       |SELECT s.doc_id, s.geo_string, f.iso
+       |FROM s JOIN read_parquet('/root/repo/src/test/resources/ref_geo_links.parquet') f USING (geo_string)""".stripMargin
+  }
+
+  /** G1 multi-classifier collation: keyword-pass counts (regex twin of the
+    * trie) unioned with the embedding pass recomputed from scratch —
+    * deterministic synthetic embeddings from doc_id arithmetic,
+    * list_dot_product cosine (bit-exact vs the engine's sequential fold). */
+  val multiClassifierSql: String = {
+    val clfDims = concepts
+      .map(c => s"('${c.wikibaseId}', '${DemoConceptStore.classifierId(c)}')")
+      .mkString(", ")
+    val embClf = KgPipeline.embeddingClassifierId(DemoConceptStore.byId("Q15"))
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |clf_dim(concept_id, classifier_id) AS (SELECT * FROM (VALUES $clfDims)),
+       |kw AS (
+       |  SELECT d.classifier_id, p.conv_id, p.turn_idx, p.concept_id, CAST(p.n_mentions AS BIGINT) AS n_mentions
+       |  FROM per_turn p JOIN clf_dim d ON p.concept_id = d.concept_id WHERE p.n_mentions > 0),
+       |embp AS (
+       |  SELECT source || '.conv.' || CAST(doc_id % ${Transcripts.ConvBuckets} AS VARCHAR) AS conv_id,
+       |         CAST(doc_id // ${Transcripts.ConvBuckets} AS INT) AS turn_idx,
+       |         list_transform(range(8), i -> CAST((doc_id * (i + 3) + i + 1) % 101 AS DOUBLE) / 101.0) AS e,
+       |         list_transform(range(8), i -> CAST((i * 5 + 2) % 101 AS DOUBLE) / 101.0) AS c
+       |  FROM documents
+       |  WHERE lang = 'en' AND CAST(doc_id % 4 AS INT) <> 3 AND length(trim(text)) > 0),
+       |emb AS (
+       |  SELECT '$embClf' AS classifier_id, conv_id, turn_idx, 'Q15' AS concept_id, CAST(1 AS BIGINT) AS n_mentions
+       |  FROM embp
+       |  WHERE list_dot_product(e, c) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))) >= 0.45),
+       |allm AS (SELECT * FROM kw UNION ALL SELECT * FROM emb)
+       |SELECT conv_id, turn_idx,
+       |  array_to_string(list_sort(list(classifier_id || ':' || concept_id || ':' || CAST(n_mentions AS VARCHAR))), ';') AS models_str,
+       |  CAST(COUNT(DISTINCT classifier_id) AS BIGINT) AS n_classifiers
+       |FROM allm GROUP BY conv_id, turn_idx""".stripMargin
+  }
+
   val lineageSql: String =
     s"""WITH $transcriptsCte,
        |$turnsCte,

@@ -139,6 +139,42 @@ class AggregationsSpec extends AnyFunSuite {
     assert(!byId.get("Q70").contains(byId("Q10")))
   }
 
+  test("multi-classifier mentions: two real passes, aligned coverage, misalignment flagged") {
+    import graft.kg.Transcripts
+    val m = KgPipeline.multiClassifierMentions(spark, TestSpark.sf0001).cache()
+    // genuinely multi-classifier: keyword ids per concept + one embedding id
+    assert(m.select("classifier_id").distinct().count() >= 2)
+    assert(m.where(col("n_mentions") <= 0).count() == 0)
+    // both classifiers ran over the same turn set -> zero alignment violations
+    val turns = KgPipeline
+      .eligibleTurns(Transcripts.read(spark, TestSpark.sf0001))
+      .select("conv_id", "turn_idx")
+      .cache()
+    val coverage = Seq("kwpass", "embpass")
+      .map(c => turns.withColumn("classifier_id", lit(c)))
+      .reduce(_ union _)
+    assert(Aggregations.alignmentViolations(coverage).count() == 0)
+    // drop one turn from one classifier -> exactly that conversation is flagged
+    val first = turns.limit(1).collect()(0)
+    val broken = coverage.where(
+      !(col("classifier_id") === "embpass" &&
+        col("conv_id") === first.getString(0) && col("turn_idx") === first.getInt(1))
+    )
+    val flagged = Aggregations.alignmentViolations(broken).collect().map(_.getString(0)).toSeq
+    assert(flagged == Seq(first.getString(0)))
+    m.unpersist(); turns.unpersist()
+  }
+
+  test("demo concept store parity with the JSON resource the oracle tools read") {
+    val p = Paths.get("/root/repo/src/test/resources/demo_concepts.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(p))
+    import scala.jdk.CollectionConverters._
+    val fromJson = root.asScala.toVector.map(n => ConceptJson.parse(n.toString))
+    assert(fromJson == graft.kg.DemoConceptStore.concepts,
+      "demo_concepts.json drifted from DemoConceptStore — regenerate ref_mentions fixtures")
+  }
+
   test("S10 concept JSON loader: reference Q787 fixture round-trips validators") {
     val p = Paths.get("/root/reference/tests/fixtures/data/processed/concepts/Q787.json")
     assume(Files.exists(p), "reference fixture not present")

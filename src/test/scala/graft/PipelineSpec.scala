@@ -156,6 +156,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("triples sink MERGE-idempotency: overlapping re-runs leave exactly the distinct triple set") {
+    // Cypher MERGE semantics (update_neo4j.py:107-124): re-writing a slice of
+    // the input must upsert, never duplicate. The sink emulates MERGE with
+    // conv-bucket dynamic-partition overwrite: any bucket written is complete,
+    // so re-running overlapping buckets replaces them idempotently.
+    val sinkDir = Files.createTempDirectory("triples_sink").toString
+    val nB = 16
+    val turns = KgPipeline
+      .eligibleTurns(Transcripts.read(spark, dir))
+      .withColumn("bucket", Checkpoint.bucketCol("conv_id", nB))
+      .cache()
+    def write(sel: org.apache.spark.sql.DataFrame): Unit =
+      KgPipeline.writeTriplesMerge(spark, sel, KgPipeline.defaultConcepts, sinkDir, nB)
+    write(turns.where($"bucket" < 10)) // run 1: conv buckets 0..9
+    write(turns.where($"bucket" >= 5)) // run 2: 5..15 — overlaps 5..9
+    val stored = spark.read.parquet(sinkDir).select("subj", "pred", "obj")
+    val expected = KgPipeline.triplesFromTurns(spark, turns, KgPipeline.defaultConcepts)
+    assert(stored.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(stored).count() == 0)
+    turns.unpersist()
+  }
+
   test("synthetic transcripts generator: deterministic, skewed, schema-complete") {
     val t1 = Transcripts.synthesize(spark, 10000, 1000).cache()
     val t2 = Transcripts.synthesize(spark, 10000, 1000)
