@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Similarity
+
+/** ANN-at-scale benchmark: sim_ann_ivf vs sim_topk on a corpus large enough
+  * for the scan-fraction win to dominate fixed costs (the sf0.1 embeddings
+  * table has 2k vectors — both paths are setup-bound there).
+  *
+  * Synthesizes a deterministic CLUSTERED corpus (nCells cluster centers from
+  * integer arithmetic, vector i = center(i % nCells) + small per-coordinate
+  * noise; vec_id < nCells are near-pure centers, so the engine's
+  * deterministic centroid seeding picks one per cluster). Measures wall-clock
+  * for exact brute-force top-k vs IVF top-k and the IVF recall vs the exact
+  * result. Prints one JSON line and appends nothing — numbers are recorded in
+  * BENCH/BASELINE.md.
+  *
+  * Env: SPARK_GRAFT_ANN_N (corpus size, default 200000),
+  *      SPARK_GRAFT_ANN_QUERIES (default 100), SPARK_GRAFT_CPUS (default 32).
+  */
+object AnnBench {
+
+  val Dim = 64
+
+  /** Clustered synthetic embeddings: (vec_id, embedding: array<double>). */
+  def synthesize(spark: SparkSession, n: Long, nCells: Int): DataFrame = {
+    val cluster = col("id") % nCells
+    val center = (j: org.apache.spark.sql.Column) =>
+      ((cluster * 73 + j * 37) % 997).cast("double") / 997.0
+    val noise = (j: org.apache.spark.sql.Column) =>
+      ((col("id") * 31 + j * 17) % 1000).cast("double") / 1000.0 * 0.05
+    spark
+      .range(n)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(Dim - 1)), j => center(j) + noise(j)).as("embedding")
+      )
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "200000").toLong
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nCells = 256
+    val nProbe = 16
+    val spark = Bench.session(cpus)
+
+    val path = s"/tmp/graft_ann_bench_$n"
+    if (!new java.io.File(path).exists())
+      synthesize(spark, n, nCells).repartition(cpus * 2).write.mode("overwrite").parquet(path)
+    val emb = spark.read.parquet(path)
+    emb.count() // warm page cache
+
+    def best3(f: => Long): (Long, Double) = {
+      var rows = 0L
+      val times = (1 to 3).map { _ => val (r, s) = time(f); rows = r; s }
+      (rows, times.min)
+    }
+
+    // index build = one-time ingest cost (nCells cosines per vector),
+    // persisted like any real ANN index; the query path reads it back
+    val indexPath = s"/tmp/graft_ann_index_${n}_$nCells"
+    val (_, indexSec) = time {
+      Similarity.ivfAssign(emb, nCells).write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    }
+    val index = spark.read.parquet(indexPath).select("vec_id", "cell", "v")
+
+    val (exactRows, exactSec) = best3(Similarity.bruteForceTopK(emb, nQueries, 10).count())
+    val (ivfRows, ivfSec) =
+      best3(Similarity.ivfTopK(emb, nQueries, 10, nCells, nProbe, Some(index)).count())
+
+    // recall: fraction of exact (query, neighbor) pairs the IVF path returns
+    val exact = Similarity
+      .bruteForceTopK(emb, nQueries, 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity
+      .ivfTopK(emb, nQueries, 10, nCells, nProbe, Some(index))
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = exact.intersect(ivf).count()
+    val recall = hit.toDouble / exactRows
+
+    val json =
+      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows}"""
+    println(json)
+    spark.stop()
+  }
+}

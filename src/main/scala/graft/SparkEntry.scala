@@ -364,6 +364,31 @@ object SparkEntry {
         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 200 AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    // full IVF replication in SQL: same centroid normalization (elementwise
+    // x / sqrt(dot(e,e))), same argmin/probe ranking, same cosine scoring —
+    // every float op is a sequential fold, bit-exact across engines
+    "sim_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cn
+        |          FROM v WHERE vec_id < 16),
+        |scored AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cents c),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored)
+        |  WHERE rn = 1),
+        |probes AS (SELECT query_id, cell FROM (
+        |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn
+        |  FROM scored WHERE vec_id < 50) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a USING (cell) WHERE p.query_id <> a.vec_id),
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         list_dot_product(q.e, n.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))) AS score
+        |  FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc) WHERE rank <= 10""".stripMargin,
     // the IVF-blocked variant must reproduce the brute-force pair set exactly
     "dedup_embedding_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -44,13 +44,23 @@ object Similarity {
       .sortBy(_._1)
       .toSeq
 
-  /** Ascending-sorted array of (negated cosine, cell) structs vs every
-    * codebook centroid — element 1 is the nearest cell (ties toward the
-    * lowest cell id), slice(.., 1, nProbe) the probe set. Pure projection. */
+  /** Array of (negated score, cell) structs vs every codebook centroid —
+    * pure projection over the literal codebook. Centroids are normalized
+    * driver-side so the per-cell score is a single dot product: cosine
+    * ordering is invariant under the row's constant 1/norm(v) factor, so
+    * neither norm(v) nor norm(c) needs computing per cell. */
+  private def cellStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cell, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      val cn = c.map(_ / nrm)
+      struct((-dot(v, typedLit(cn))).as("negd"), lit(cell).as("cell"))
+    }: _*)
+
+  /** Ascending-sorted cell ranking — element 1 is the nearest cell (ties
+    * toward the lowest cell id), slice(.., 1, nProbe) the probe set. Only the
+    * (small) query side pays the sort; corpus assignment uses array_min. */
   private def cellRanking(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    sort_array(array(cents.map { case (cell, c) =>
-      struct((-cosine(v, typedLit(c))).as("negd"), lit(cell).as("cell"))
-    }: _*))
+    sort_array(cellStructs(v, cents))
 
   /** Exact top-k cosine neighbours for each query vector (vec_id < nQueries).
     * Output: (query_id, rank, neighbor_id) — scores are compared exactly
@@ -80,17 +90,34 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(
         col("vec_id"),
-        element_at(cellRanking(col("v"), cents), 1).getField("cell").as("cell"),
+        // argmin without materializing a sort: array_min over the struct
+        // array is the (max cosine, lowest cell) element
+        array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"),
         col("v")
       )
   }
 
   /** IVF-probed ANN top-k: each query scans only its nProbe nearest cells.
-    * Probe selection is a projection over the literal codebook; the only
-    * wide ops left are the cell-keyed probe join and the per-query top-k. */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 50, k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    * Probe selection is a projection over the literal codebook; the probe
+    * side (queries x nProbe rows) is BROADCAST against the assigned corpus,
+    * so the corpus is never shuffled — each partition streams, scores only
+    * the vectors whose cell some query probes, and the one wide op left is
+    * the per-query top-k over the probed candidates.
+    *
+    * Pass `preAssigned` (the output of ivfAssign, typically persisted as the
+    * index at ingest) to skip re-building the cell index — assignment costs
+    * nCells cosines per corpus vector, which a per-query path must amortize
+    * exactly like any real ANN index build. */
+  def ivfTopK(
+      emb: DataFrame,
+      nQueries: Int = 50,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      preAssigned: Option[DataFrame] = None
+  ): DataFrame = {
     val cents = ivfCentroids(emb, nCells)
-    val assigned = ivfAssign(emb, nCells)
+    val assigned = preAssigned.getOrElse(ivfAssign(emb, nCells))
     val probes = emb
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
@@ -101,8 +128,8 @@ object Similarity {
       )
       .select(col("query_id"), col("q"), col("p.cell").as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
-    probes
-      .join(assigned, "cell")
+    assigned
+      .join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine(col("q"), col("v")).as("score"))
       .withColumn("rank", row_number().over(w))
