@@ -56,6 +56,21 @@ object SparkEntry {
     "kg_mention_counts" -> ((s, dir) => KgPipeline.mentionCounts(mentions(s, dir))),
     "kg_vespa_concepts" -> ((s, dir) => KgPipeline.vespaConcepts(s, mentions(s, dir))),
     "kg_concept_counts" -> ((s, dir) => KgPipeline.conceptCounts(s, mentions(s, dir))),
+    // the reference's keyed-map contract, stringified via map_entries (the
+    // map is built in sorted-key order, so serialization is deterministic)
+    "kg_concept_counts_map" -> ((s, dir) =>
+      KgPipeline
+        .conceptCountsMap(s, mentions(s, dir))
+        .select(
+          col("conv_id"),
+          concat_ws(
+            ";",
+            transform(
+              map_entries(col("concept_counts")),
+              e => concat(e.getField("key"), lit("="), e.getField("value").cast("string"))
+            )
+          ).as("counts_str")
+        )),
     "kg_triples" -> ((s, dir) => KgPipeline.triples(s, dir)),
     "kg_nodes" -> ((s, dir) =>
       KgPipeline.nodes(s, KgPipeline.eligibleTurns(Transcripts.read(s, dir)), KgPipeline.defaultConcepts)),
@@ -322,6 +337,7 @@ object SparkEntry {
     "kg_mention_counts" -> OracleGen.mentionCountsSql,
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
     "kg_concept_counts" -> OracleGen.conceptCountsSql,
+    "kg_concept_counts_map" -> OracleGen.conceptCountsMapSql,
     "kg_triples" -> OracleGen.triplesSql,
     "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,

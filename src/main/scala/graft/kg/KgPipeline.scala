@@ -148,6 +148,20 @@ object KgPipeline {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** G3 at the reference's keyed-map grain (flows/index.py:632-637): one row
+    * per document with the {"{id}:{name}" -> count} MAP column the reference
+    * writes into its index documents. Long format (conceptCounts) is the
+    * scale-preferred shape; this materializes the exact map contract, with
+    * entries inserted in sorted-key order so downstream serialization
+    * (to_json, map_entries) is deterministic. */
+  def conceptCountsMap(spark: SparkSession, m: DataFrame, concepts: Vector[Concept] = defaultConcepts): DataFrame =
+    conceptCounts(spark, m, concepts)
+      .groupBy("conv_id")
+      .agg(
+        map_from_entries(sort_array(collect_list(struct(col("concept_key"), col("n")))))
+          .as("concept_counts")
+      )
+
   /** The graph layer: distinct (subj, pred, obj) triples
     * (flows/update_neo4j.py:249-333, :436-450; FIXTURES.md §6):
     *   (conv_id,  HAS_PASSAGE,      conv_id_turnIdx)   one per eligible turn

@@ -111,6 +111,24 @@ object OracleGen {
        |WHERE p.n_mentions > 0 GROUP BY 1, 2""".stripMargin
   }
 
+  /** Keyed-map grain of conceptCounts, stringified in sorted-key order. */
+  val conceptCountsMapSql: String = {
+    val names = concepts.map(c => s"('${c.wikibaseId}', '${sq(c.preferredLabel)}')").mkString(", ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |dim(concept_id, name) AS (SELECT * FROM (VALUES $names)),
+       |long AS (
+       |  SELECT p.conv_id, p.concept_id || ':' || d.name AS concept_key, CAST(SUM(p.n_mentions) AS BIGINT) AS n
+       |  FROM per_turn p JOIN dim d ON p.concept_id = d.concept_id
+       |  WHERE p.n_mentions > 0 GROUP BY 1, 2)
+       |SELECT conv_id,
+       |  array_to_string(list(concept_key || '=' || CAST(n AS VARCHAR) ORDER BY concept_key), ';') AS counts_str
+       |FROM long GROUP BY conv_id""".stripMargin
+  }
+
   val triplesSql: String = {
     val edgeValues = DemoConceptStore.conceptEdges
       .map { case (s, p, o) => s"('$s', '$p', '$o')" }

@@ -165,6 +165,22 @@ class AggregationsSpec extends AnyFunSuite {
     m.unpersist(); turns.unpersist()
   }
 
+  test("concept counts keyed-map grain (index.py:632-637): map contract matches the long format") {
+    val m = KgPipeline.mentions(spark, TestSpark.sf0001).toDF()
+    val mapped = KgPipeline.conceptCountsMap(spark, m).collect()
+    val long = KgPipeline
+      .conceptCounts(spark, m)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    assert(mapped.length == long.size)
+    mapped.foreach { r =>
+      val got = r.getMap[String, Long](1).toMap
+      assert(got == long(r.getString(0)), s"conv ${r.getString(0)}")
+      got.keys.foreach(k => assert(k.matches("^Q\\d+:.+"), s"key shape: $k"))
+    }
+  }
+
   test("demo concept store parity with the JSON resource the oracle tools read") {
     val p = Paths.get("/root/repo/src/test/resources/demo_concepts.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

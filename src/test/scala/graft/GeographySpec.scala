@@ -60,6 +60,20 @@ class GeographySpec extends AnyFunSuite {
     assert(Geography.bestIso("a", dim) == "X1")
   }
 
+  test("ratio laws: symmetry, bounds, identity (property sweep)") {
+    val gen = new scala.util.Random(42)
+    val alphabet = "abcXYZ é'–"
+    def word() = (0 until gen.nextInt(12)).map(_ => alphabet(gen.nextInt(alphabet.length))).mkString
+    (1 to 500).foreach { _ =>
+      val (a, b) = (word(), word())
+      val r = Fuzz.indelRatio(a, b)
+      assert(r == Fuzz.indelRatio(b, a), s"symmetry: '$a' '$b'")
+      assert(r >= 0.0 && r <= 100.0, s"bounds: '$a' '$b' -> $r")
+      assert(Fuzz.indelRatio(a, a) == 100.0 || a.isEmpty)
+      if (r == 100.0) assert(a == b, s"100 only for equal: '$a' '$b'")
+    }
+  }
+
   test("spark expression matches the local function") {
     val spark = TestSpark.spark
     import spark.implicits._
