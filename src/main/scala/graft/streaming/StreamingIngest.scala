@@ -1,10 +1,25 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.Concept
 import graft.extract.Gazetteer
+
+/** One extracted edge event flowing through the stateful stream. */
+final case class EdgeEvent(conv_id: String, turn_idx: Int, concept_id: String, ts: java.sql.Timestamp)
+
+/** Emitted triple row. */
+final case class TripleEdge(subj: String, pred: String, obj: String)
+
+/** Per-conversation dedup state: the (turn_idx, concept) keys already
+  * emitted plus the max event time seen (the timeout anchor). A Set[String]
+  * is the clear-and-correct shape at per-conversation cardinality
+  * (turns x concepts); a 10^12-turn deployment would swap in a roaring
+  * bitmap over (turn_seq, concept_ordinal) without changing the operator
+  * contract. */
+final case class SeenEdges(keys: Set[String], maxTsMs: Long)
 
 /** Streaming ingest mode (optional — the reference is batch-only, SURVEY.md
   * §2.9; its incremental behavior is the checkpoint anti-join). When
@@ -36,6 +51,67 @@ object StreamingIngest {
       )
       .groupBy(window(col("ts"), windowDuration), col("concept_id"))
       .agg(count(lit(1)).as("n_mentions"), approx_count_distinct(col("conv_id")).as("approx_convs"))
+  }
+
+  /** STATEFUL incremental MENTIONS_CONCEPT emission — the streaming twin of
+    * the batch path's distinct-by-construction dedup and the Cypher MERGE
+    * contract: per-conversation state (KeyValueGroupedDataset
+    * .flatMapGroupsWithState) remembers which (turn, concept) edges were
+    * already emitted, so replayed or duplicated turns from an at-least-once
+    * upstream emit NO duplicate edges, and a turn re-arriving with a new
+    * concept emits only the new edge. State is dropped via event-time
+    * timeout once the conversation falls `stateRetention` behind the
+    * watermark. */
+  def incrementalMentionEdges(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      concepts: Vector[Concept],
+      watermarkDelay: String = "2 minutes",
+      stateRetentionMs: Long = 10 * 60 * 1000L
+  ): Dataset[TripleEdge] = {
+    import spark.implicits._
+    val gaz = new Gazetteer(concepts)
+    val events = transcripts
+      .where(col("role") =!= "tool" && length(trim(col("text"))) > 0)
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        explode(graft.extract.expressions.extractConceptsPresent(col("text"), gaz)).as("concept_id"),
+        col("ts")
+      )
+      .as[EdgeEvent]
+
+    events
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, batch: Iterator[EdgeEvent], state: GroupState[SeenEdges]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(SeenEdges(Set.empty, 0L))
+            var seen = prior.keys
+            var maxTs = prior.maxTsMs
+            val fresh = Vector.newBuilder[TripleEdge]
+            batch.foreach { e =>
+              val key = s"${e.turn_idx}:${e.concept_id}"
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+              if (!seen.contains(key)) {
+                seen += key
+                fresh += TripleEdge(s"${convId}_${e.turn_idx}", "MENTIONS_CONCEPT", e.concept_id)
+              }
+            }
+            state.update(SeenEdges(seen, maxTs))
+            // anchor the timeout on the conversation's own event time, not the
+            // (first-batch-zero) watermark; floor it above the watermark or
+            // Spark rejects the timestamp for already-stale conversations
+            state.setTimeoutTimestamp(
+              math.max(maxTs + stateRetentionMs, state.getCurrentWatermarkMs() + 1000L)
+            )
+            fresh.result().iterator
+          }
+      )
   }
 
   /** Streaming triple emission: stateless transform — every micro-batch

@@ -71,4 +71,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(("c9_3", "Q13")))
     } finally query.stop()
   }
+
+  test("stateful incremental edges: at-least-once replays emit no duplicates (streaming MERGE)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val edges = graft.streaming.StreamingIngest
+      .incrementalMentionEdges(spark, transcripts, KgPipeline.defaultConcepts)
+    val query = edges.writeStream
+      .format("memory")
+      .queryName("incr_edges_stream")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ("s1", 0, "user", "the table scan is slow", None, ts(0)),
+        ("s1", 1, "assistant", "use a hash join", None, ts(1))
+      )
+      query.processAllAvailable()
+      // replay turn 0 verbatim (at-least-once upstream), plus a genuinely new
+      // conversation and a new turn in s1
+      input.addData(
+        ("s1", 0, "user", "the table scan is slow", None, ts(0)), // duplicate
+        ("s1", 2, "user", "the table scan again", None, ts(2)), // new turn, same concept
+        ("s2", 0, "user", "a window function", None, ts(2))
+      )
+      query.processAllAvailable()
+      val got = spark
+        .table("incr_edges_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getString(2)))
+        .toSeq
+      assert(got.size == got.distinct.size, s"duplicate edges emitted: $got")
+      assert(
+        got.toSet == Set(("s1_0", "Q10"), ("s1_1", "Q11"), ("s1_2", "Q10"), ("s2_0", "Q14")),
+        s"got $got"
+      )
+      // advance the watermark far past the 10-minute state retention: the
+      // per-conversation state times out and is dropped...
+      input.addData(("s3", 0, "user", "the data stream", None, ts(60)))
+      query.processAllAvailable()
+      // ...and a post-expiry replay arrives LATE (behind the watermark), so
+      // the watermark filter drops it — the no-duplicate contract holds even
+      // after state expiry
+      input.addData(("s1", 0, "user", "the table scan is slow", None, ts(0)))
+      query.processAllAvailable()
+      val got2 = spark
+        .table("incr_edges_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getString(2)))
+        .toSeq
+      assert(got2.size == got2.distinct.size, s"duplicate edges after expiry: $got2")
+      assert(got2.toSet == got.toSet + (("s3_0", "Q16")), s"got $got2")
+    } finally query.stop()
+  }
 }
