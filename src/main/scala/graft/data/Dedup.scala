@@ -66,38 +66,35 @@ object Dedup {
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: signatures split into `bands` bands of `rowsPerBand`
-    * values; docs sharing any band hash become candidates; candidates are
-    * verified with exact shingle Jaccard. Probability a pair with true
-    * Jaccard s is caught: 1 - (1 - s^r)^b. */
-  def minhashPairs(
-      docs: DataFrame,
-      threshold: Double = 0.5,
-      bands: Int = 8,
-      rowsPerBand: Int = 4
-  ): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, k)
+  /** Band buckets from a signature table (possibly read back from a
+    * persisted signature index): (doc_id, band, sig). */
+  def minhashBandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         hash((0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("sig")
       )
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
 
-    val cand = buckets
+  /** Distinct candidate pairs: docs sharing any band bucket. Each doc appears
+    * `bands` times — never all-pairs. */
+  def minhashCandidates(buckets: DataFrame): DataFrame =
+    buckets
       .as("x")
       .join(buckets.as("y"), Seq("band", "sig"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // semi-join-prune the corpus to candidate ids (broadcast) BEFORE
-    // materializing shingle arrays: verification then shuffles only the few
-    // candidate docs' arrays, not every doc's
+  /** Exact-Jaccard verification of candidate pairs. The corpus is
+    * semi-join-pruned to candidate ids (broadcast) BEFORE shingle arrays are
+    * materialized: verification shuffles only the few candidate docs'
+    * arrays, not every doc's. */
+  def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -114,6 +111,23 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
       )
       .where(col("jaccard") >= threshold)
+  }
+
+  /** LSH near-dup pairs: signatures split into `bands` bands of `rowsPerBand`
+    * values; docs sharing any band hash become candidates; candidates are
+    * verified with exact shingle Jaccard. Probability a pair with true
+    * Jaccard s is caught: 1 - (1 - s^r)^b. Pass `preSigs` (a persisted
+    * signature index) to skip recomputing signatures — a self-join otherwise
+    * re-executes the signature subtree on both sides. */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      preSigs: Option[DataFrame] = None
+  ): DataFrame = {
+    val sigs = preSigs.getOrElse(minhashSignatures(docs, bands * rowsPerBand))
+    verifyJaccard(minhashCandidates(minhashBandBuckets(sigs, bands, rowsPerBand)), docs, threshold)
   }
 
   /** Deterministic 60-bit token hash reproducible in DuckDB SQL: the first
