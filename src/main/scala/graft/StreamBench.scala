@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.kg.{KgPipeline, Transcripts}
+import graft.streaming.StreamingIngest
+
+/** Streaming-path throughput: the stateful incremental-mention-edge operator
+  * (flatMapGroupsWithState dedup state per conversation) driven by a bounded
+  * file stream over the same synthetic transcripts parquet the batch bench
+  * uses. Reports turns/sec through the full stateful pipeline — the number
+  * to compare against the batch path's triples/sec (state-store maintenance
+  * is the expected gap). Prints one JSON line.
+  *
+  * Env: SPARK_GRAFT_STREAM_TURNS (default 4000000),
+  *      SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_FILES_PER_TRIGGER (default 32).
+  */
+object StreamBench {
+
+  val schema: StructType = StructType(
+    Seq(
+      StructField("conv_id", StringType),
+      StructField("turn_idx", IntegerType),
+      StructField("role", StringType),
+      StructField("text", StringType),
+      StructField("tool", StringType),
+      StructField("ts", TimestampType)
+    )
+  )
+
+  def main(args: Array[String]): Unit = {
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_STREAM_TURNS", "4000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "32").toInt
+    val spark: SparkSession = Bench.session(cpus)
+
+    val inputPath = s"/tmp/graft_stream_bench_$nTurns"
+    if (!new java.io.File(inputPath).exists()) {
+      Transcripts
+        .synthesize(spark, nTurns, nConvs = nTurns / 200)
+        .repartition(128)
+        .write
+        .mode("overwrite")
+        .parquet(inputPath)
+    }
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputPath)
+    val edges = StreamingIngest.incrementalMentionEdges(
+      spark,
+      stream,
+      KgPipeline.defaultConcepts,
+      watermarkDelay = "10 minutes"
+    )
+    val query = edges.writeStream
+      .format("noop")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val t0 = System.nanoTime()
+    query.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = query.recentProgress
+    val inputRows = progress.map(_.numInputRows).sum
+    val batches = progress.length
+    query.stop()
+
+    val json =
+      f"""{"metric":"stream_turns_per_sec","turns":$nTurns,"input_rows":$inputRows,"batches":$batches,"sec":$sec%.3f,"turns_per_sec":${inputRows / sec}%.1f,"files_per_trigger":$filesPerTrigger}"""
+    println(json)
+    spark.stop()
+  }
+}
