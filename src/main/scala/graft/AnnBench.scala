@@ -39,11 +39,7 @@ object AnnBench {
       )
   }
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
+  import Bench.time
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "200000").toLong

@@ -46,7 +46,8 @@ object Bench {
     s
   }
 
-  private def time[A](f: => A): (A, Double) = {
+  /** Wall-clock a thunk — shared by all bench mains. */
+  def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
     (a, (System.nanoTime() - t0) / 1e9)
@@ -157,8 +158,12 @@ object Bench {
     val json =
       f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
     // bare stdout line (run is forked with StdoutOutput — no [info] prefix)
-    // plus a file copy, so the driver can parse the metric either way
+    // plus a file copy in the working directory (gitignored), so the driver
+    // can parse the metric either way from any checkout location
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_LAST.json"),
+      json + "\n"
+    )
   }
 }

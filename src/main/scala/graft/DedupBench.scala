@@ -8,10 +8,10 @@ import graft.data.Dedup
 /** Dedup-at-scale benchmark: MinHash-LSH over a corpus where all-pairs
   * comparison is physically off the table (10^6 docs = 5x10^11 pairs).
   *
-  * Synthesizes a deterministic corpus of 50-word documents (words from
-  * integer arithmetic, no RNG); every id with id % 10 == 9 is a planted
-  * near-duplicate of id-9 — identical except the last word, true word-3-gram
-  * Jaccard 46/50 = 0.92. Measures: signature-index build (one-time, persisted
+  * Synthesizes a deterministic corpus of 50-word documents (murmur3-mixed
+  * words, no RNG) with two planted near-dup tiers per base doc — see
+  * `synthesize` for the exact Jaccard/catch-probability math.
+  * Measures: signature-index build (one-time, persisted
   * parquet — the LSH twin of AnnBench's IVF cell index), candidate+verify
   * wall-clock from the persisted index, recall on the planted pairs, and
   * docs/sec end-to-end. Prints one JSON line; numbers are recorded in
@@ -24,7 +24,13 @@ object DedupBench {
   val WordsPerDoc = 50
   val Vocab = 5000
 
-  /** Deterministic corpus with planted near-dups at (i, i+9) for i%10==0. */
+  /** Deterministic corpus with two planted near-dup tiers per base doc
+    * (i % 10 == 0):
+    *   EASY (i+9): last word changed — 1 of 48 word-3-gram shingles differs,
+    *     true Jaccard 47/49 = 0.959, LSH catch probability ~1 - 4e-9.
+    *   HARD (i+8): last 5 words changed — 5 shingles differ, true Jaccard
+    *     43/53 = 0.811, catch probability 1-(1-0.811^4)^8 = 0.989 — the tier
+    *     that actually exercises the banding curve. */
   def synthesize(spark: SparkSession, n: Long): DataFrame = {
     // murmur3 mixing per (doc, position): affine id arithmetic would make
     // ids congruent mod Vocab byte-identical (collapsing the corpus into
@@ -35,22 +41,26 @@ object DedupBench {
         sequence(lit(0), lit(WordsPerDoc - 1)),
         j => concat(lit("w"), pmod(hash(idCol, j), lit(Vocab)).cast("string"))
       )
-    val isDup = col("id") % 10 === 9
-    val baseId = when(isDup, col("id") - 9).otherwise(col("id"))
+    val changed = when(col("id") % 10 === 9, 1).when(col("id") % 10 === 8, 5).otherwise(0)
+    val baseId = col("id") - (col("id") % 10)
     val baseWords = words(baseId)
     val text = when(
-      isDup,
-      // near-dup: words 0..48 of the base doc + a changed last word
-      concat_ws(" ", concat(slice(baseWords, 1, WordsPerDoc - 1), array(concat(lit("x"), col("id").cast("string")))))
-    ).otherwise(concat_ws(" ", baseWords))
+      changed > 0,
+      concat_ws(
+        " ",
+        concat(
+          slice(baseWords, lit(1), lit(WordsPerDoc) - changed),
+          transform(
+            sequence(lit(1), changed), // guarded: only evaluated when changed > 0
+            k => concat(lit("x"), col("id").cast("string"), lit("_"), k.cast("string"))
+          )
+        )
+      )
+    ).otherwise(concat_ws(" ", words(col("id"))))
     spark.range(n).select(col("id").as("doc_id"), text.as("text"))
   }
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
+  import Bench.time
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_N", "1000000").toLong
@@ -80,21 +90,27 @@ object DedupBench {
       Dedup.minhashPairs(docs, threshold, bands, rowsPerBand, Some(sigs)).count()
     }
 
-    // recall on the planted (i, i+9) truth pairs
+    // recall per planted tier: easy (i, i+9) at s=0.959, hard (i, i+8) at
+    // s=0.811 — analytic catch probabilities ~1.0 and 0.989 respectively
     val found = Dedup
       .minhashPairs(docs, threshold, bands, rowsPerBand, Some(sigs))
       .select("doc_a", "doc_b")
-    val planted = spark
-      .range(n)
-      .where(col("id") % 10 === 0 && col("id") + 9 < n)
-      .select(col("id").as("doc_a"), (col("id") + 9).as("doc_b"))
-    val nPlanted = planted.count()
-    val hit = found.join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
-    val recall = hit.toDouble / nPlanted
+      .cache()
+    def recallOf(offset: Int): (Long, Double) = {
+      val planted = spark
+        .range(n)
+        .where(col("id") % 10 === 0 && col("id") + offset < n)
+        .select(col("id").as("doc_a"), (col("id") + offset).as("doc_b"))
+      val nPlanted = planted.count()
+      val hit = found.join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+      (nPlanted, hit.toDouble / nPlanted)
+    }
+    val (nEasy, recallEasy) = recallOf(9)
+    val (nHard, recallHard) = recallOf(8)
 
     val totalSec = sigSec + pairSec
     val json =
-      f"""{"metric":"dedup_lsh_docs_per_sec","n_docs":$n,"bands":$bands,"rows_per_band":$rowsPerBand,"threshold":$threshold,"sig_index_sec":$sigSec%.3f,"pairs_sec":$pairSec%.3f,"total_sec":$totalSec%.3f,"docs_per_sec":${n / totalSec}%.1f,"pairs_found":$nPairs,"planted":$nPlanted,"recall":$recall%.4f}"""
+      f"""{"metric":"dedup_lsh_docs_per_sec","n_docs":$n,"bands":$bands,"rows_per_band":$rowsPerBand,"threshold":$threshold,"sig_index_sec":$sigSec%.3f,"pairs_sec":$pairSec%.3f,"total_sec":$totalSec%.3f,"docs_per_sec":${n / totalSec}%.1f,"pairs_found":$nPairs,"planted_easy":$nEasy,"recall_easy":$recallEasy%.4f,"planted_hard":$nHard,"recall_hard":$recallHard%.4f,"expected_hard":0.989}"""
     println(json)
     spark.stop()
   }

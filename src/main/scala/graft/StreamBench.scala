@@ -36,6 +36,9 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "32").toInt
     val spark: SparkSession = Bench.session(cpus)
+    // many-micro-batch runs would otherwise rotate numInputRows out of
+    // recentProgress (default cap 100) and under-count throughput
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     val inputPath = s"/tmp/graft_stream_bench_$nTurns"
     if (!new java.io.File(inputPath).exists()) {
@@ -52,11 +55,16 @@ object StreamBench {
       .schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputPath)
+    // the synthetic event times span ~10 days and files arrive in random
+    // event-time order, so the watermark delay must cover the WHOLE span:
+    // a short delay would silently drop most rows as late before they ever
+    // reach the state store, and the bench would measure the filter, not
+    // the stateful operator
     val edges = StreamingIngest.incrementalMentionEdges(
       spark,
       stream,
       KgPipeline.defaultConcepts,
-      watermarkDelay = "10 minutes"
+      watermarkDelay = "30 days"
     )
     val query = edges.writeStream
       .format("noop")

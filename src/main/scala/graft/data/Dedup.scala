@@ -176,7 +176,9 @@ object Dedup {
     val chunks = (0 until nChunks).map { c =>
       val start = c * nBits / nChunks
       val width = (c + 1) * nBits / nChunks - start
-      val mask = (1L << width) - 1
+      // JVM shifts are mod 64: (1L << 64) - 1 would be 0, collapsing every
+      // doc into one bucket (a silent all-pairs join at maxHamming = 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("chunk"), shiftright(col("simhash"), start).bitwiseAND(mask).as("v"))
     }
     val keyed = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))

@@ -1,6 +1,7 @@
 package graft.extract
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -13,6 +14,13 @@ import graft.core.Geography
   * gazetteer expressions (CodegenFallback: the DP is compiled JVM code);
   * the dimension is plan-embedded — a bounded model artifact. */
 case class GeoLink(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  // a non-string child must fail at ANALYSIS, not as an executor-side
+  // ClassCastException (AbstractDataType/ExpectsInputTypes is private[sql],
+  // so the check is spelled out)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"geo_link requires a string input, got ${child.dataType}")
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable

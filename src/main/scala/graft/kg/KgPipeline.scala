@@ -195,25 +195,53 @@ object KgPipeline {
 
   /** MERGE-semantics triple sink — the parquet stand-in for Cypher MERGE /
     * Iceberg MERGE INTO (update_neo4j.py:107-124): dynamic-partition
-    * overwrite keyed by conversation bucket, so re-running ANY overlapping
-    * set of complete conversations is idempotent (each rewritten partition is
-    * complete w.r.t. its conversations). Concept-store edges go to a
-    * DEDICATED bucket: they are re-emitted in full by every run, so that
-    * partition is always complete — routing them by subj hash would let a
-    * partial run clobber conversation buckets it did not rewrite. */
+    * overwrite keyed by conversation bucket.
+    *
+    * CONTRACT: each run's `turns` must be a union of COMPLETE buckets under
+    * `Checkpoint.bucketCol(_, nBuckets)` with the SAME nBuckets as the sink
+    * (exactly the slicing Checkpoint.runResumable produces). A rewritten
+    * partition replaces everything previously in it, so a run covering only
+    * SOME conversations of a bucket would silently delete the bucket's other
+    * conversations — bucket-aligned input is what makes overlapping re-runs
+    * upserts instead of deletes. The bucket is computed from the turns'
+    * actual conv_id column (NOT parsed back out of subj strings, which would
+    * collapse conv_ids containing underscores), so any conv_id shape is
+    * safe. Concept-store edges go to a DEDICATED bucket: they are re-emitted
+    * in full by every run, so that partition is always complete — routing
+    * them by subj hash would let a partial run clobber conversation buckets
+    * it did not rewrite. */
   def writeTriplesMerge(
       spark: SparkSession,
       turns: DataFrame,
       concepts: Vector[Concept],
       path: String,
-      nBuckets: Int = 64
+      nBuckets: Int = Checkpoint.DefaultBuckets
   ): Unit = {
+    import spark.implicits._
     import org.apache.spark.sql.SaveMode
-    val tr = triplesFromTurns(spark, turns, concepts)
-    val convKey = regexp_extract(col("subj"), "^([^_]+)", 1)
-    val bucket = when(col("pred").isin("SUBCONCEPT_OF", "RELATED_TO"), lit(nBuckets))
-      .otherwise(pmod(xxhash64(convKey), lit(nBuckets.toLong)).cast("int"))
-    tr.withColumn("bucket", bucket.cast("int"))
+    val bucket = Checkpoint.bucketCol("conv_id", nBuckets)
+    val passageId = concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"))
+    val hasPassage = turns.select(
+      col("conv_id").as("subj"),
+      lit("HAS_PASSAGE").as("pred"),
+      passageId.as("obj"),
+      bucket
+    )
+    val mentionEdges = extractMentionEdges(spark, turns, concepts)
+      .select(
+        passageId.as("subj"),
+        lit("MENTIONS_CONCEPT").as("pred"),
+        col("concept_id").as("obj"),
+        bucket
+      )
+    val ids = concepts.map(_.wikibaseId).toSet
+    val conceptEdges = DemoConceptStore.conceptEdges
+      .filter { case (s, _, o) => ids(s) && ids(o) }
+      .toDF("subj", "pred", "obj")
+      .withColumn("bucket", lit(nBuckets))
+    hasPassage
+      .unionByName(mentionEdges)
+      .unionByName(conceptEdges)
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -74,6 +74,15 @@ class GeographySpec extends AnyFunSuite {
     }
   }
 
+  test("geo_link rejects non-string input at analysis time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(graft.extract.GeoLink.linkGeography($"x")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("geo_link"))
+  }
+
   test("spark expression matches the local function") {
     val spark = TestSpark.spark
     import spark.implicits._

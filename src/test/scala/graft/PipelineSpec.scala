@@ -163,8 +163,12 @@ class PipelineSpec extends AnyFunSuite {
     // so re-running overlapping buckets replaces them idempotently.
     val sinkDir = Files.createTempDirectory("triples_sink").toString
     val nB = 16
+    // underscored conv ids: a sink that parsed the conversation back out of
+    // subj strings (instead of bucketing on the real conv_id column) would
+    // collapse these and mis-bucket — regression for exactly that bug
     val turns = KgPipeline
       .eligibleTurns(Transcripts.read(spark, dir))
+      .withColumn("conv_id", concat($"conv_id", lit("_u")))
       .withColumn("bucket", Checkpoint.bucketCol("conv_id", nB))
       .cache()
     def write(sel: org.apache.spark.sql.DataFrame): Unit =
