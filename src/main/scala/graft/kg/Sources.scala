@@ -49,4 +49,9 @@ object Sources {
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
     )
+
+  /** ORC (native spark-sql reader): the other columnar lake format —
+    * predicate pushdown and column pruning work exactly as for parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.schema(transcriptsSchema).orc(path))
 }

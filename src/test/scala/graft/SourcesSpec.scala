@@ -31,6 +31,10 @@ class SourcesSpec extends AnyFunSuite {
     val fromCsv = Sources.csv(spark, s"$dir/csv")
     assert(fromCsv.exceptAll(t).count() == 0 && t.exceptAll(fromCsv).count() == 0)
 
+    t.write.orc(s"$dir/orc")
+    val fromOrc = Sources.orc(spark, s"$dir/orc")
+    assert(fromOrc.exceptAll(t).count() == 0 && t.exceptAll(fromOrc).count() == 0)
+
     // the pipeline runs unchanged on an alternative source
     val m = KgPipeline.extractMentionEdges(
       spark, KgPipeline.eligibleTurns(fromJson), KgPipeline.defaultConcepts)
