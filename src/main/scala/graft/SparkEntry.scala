@@ -175,6 +175,12 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    // rolling-hash content-defined chunking (partial-dup / delta primitive);
+    // oracle = independent python chunker fixture joined on md5(text)
+    "text_cdc" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(graft.extract.CdcChunks.cdcChunks(col("text"))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.start"), col("c.end"), col("c.chunk_md5"))),
     // ---- multimodal ----------------------------------------------------------
     "mm_features" -> ((s, dir) =>
       Multimodal
@@ -442,6 +448,11 @@ object SparkEntry {
         |  ])).l AS predicted_lang,
         |  CAST(lang AS VARCHAR) AS declared_lang
         |FROM t""".stripMargin,
+    "text_cdc" ->
+      """SELECT d.doc_id, f.chunk_idx, f.start, f."end", f.chunk_md5
+        |FROM documents d
+        |JOIN read_parquet('/root/repo/src/test/resources/ref_cdc_chunks.parquet') f
+        |  ON md5(d.text) = f.text_md5""".stripMargin,
     "mm_frames" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, length(text) // 64)) AS i, text FROM documents)
         |SELECT doc_id, CAST(i AS INT) AS frame_idx,
