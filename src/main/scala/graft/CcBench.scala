@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kg.ConnectedComponents
+
+/** Connected-components at scale: star-contraction CC over a synthetic graph
+  * large enough that iteration cost, not fixed overhead, dominates (the
+  * sf-scale kg_canonical runs a ~350-node graph — ~2.5s of pure round fixed
+  * cost).
+  *
+  * Graph: three deterministic edge families over n nodes partitioned into
+  * 1000-node blocks (so the expected result is one component per block, a
+  * NON-degenerate structure — a graph-wide random family would collapse
+  * everything into one giant component and verify nothing) —
+  *   chains of length `chainLen` inside each block (diameter stress: naive
+  *   label propagation needs O(chainLen) rounds, star contraction O(log)),
+  *   one random intra-block hash edge per node (merges the block's chains),
+  *   a hub fan-in to node 0 inside block 0 only (hot-key skew stress).
+  * Verifies the result is a fixpoint (component of a component is itself)
+  * and counts components. Prints one JSON line; recorded in
+  * BENCH/BASELINE.md.
+  *
+  * Env: SPARK_GRAFT_CC_NODES (default 2000000), SPARK_GRAFT_CPUS (32).
+  */
+object CcBench {
+
+  val BlockSize = 1000L
+
+  def synthesize(spark: SparkSession, n: Long, chainLen: Int = 100): DataFrame = {
+    val ids = spark.range(n)
+    def nid(c: org.apache.spark.sql.Column) = concat(lit("n"), c.cast("string"))
+    val block = col("id") - (col("id") % BlockSize)
+    val chain = ids
+      .where(col("id") % chainLen =!= (chainLen - 1))
+      .select(nid(col("id")).as("src"), nid(col("id") + 1).as("dst"))
+    val random = ids.select(
+      nid(col("id")).as("src"),
+      nid(block + pmod(xxhash64(col("id")), lit(BlockSize))).as("dst")
+    )
+    val hub = ids
+      .where(col("id") < BlockSize && col("id") % 20 === 0)
+      .select(nid(col("id")).as("src"), lit("n0").as("dst"))
+    chain.union(random).union(hub)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_CC_NODES", "2000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Bench.session(cpus)
+
+    val path = s"/tmp/graft_cc_bench_$n"
+    if (!new java.io.File(path).exists())
+      synthesize(spark, n).repartition(cpus * 4).write.mode("overwrite").parquet(path)
+    val edges = spark.read.parquet(path)
+    val nEdges = edges.count() // warm page cache
+
+    val (components, sec) = Bench.time {
+      val c = ConnectedComponents.run(spark, edges).localCheckpoint()
+      c.count()
+      c
+    }
+    val nNodes = components.count()
+    val nComponents = components.select("component").distinct().count()
+
+    // fixpoint invariant: every component label is itself labeled by itself
+    val c1 = components
+    val c2 = components.select(col("node").as("component"), col("component").as("root"))
+    val broken = c1.join(c2, Seq("component")).where(col("root") =!= col("component")).count()
+    require(broken == 0, s"$broken nodes point at non-root components")
+
+    val json =
+      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true}"""
+    println(json)
+    spark.stop()
+  }
+}

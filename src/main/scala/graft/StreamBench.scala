@@ -39,6 +39,15 @@ object StreamBench {
     // many-micro-batch runs would otherwise rotate numInputRows out of
     // recentProgress (default cap 100) and under-count throughput
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    // SPARK_GRAFT_ROCKSDB=1: the production state-store backend (bounded
+    // executor memory at 10^9-conversation state; rocksdbjni ships with
+    // Spark) — the operator code is identical, only this conf changes
+    val rocksdb = sys.env.getOrElse("SPARK_GRAFT_ROCKSDB", "0") == "1"
+    if (rocksdb)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      )
 
     val inputPath = s"/tmp/graft_stream_bench_$nTurns"
     if (!new java.io.File(inputPath).exists()) {
@@ -81,7 +90,7 @@ object StreamBench {
     query.stop()
 
     val json =
-      f"""{"metric":"stream_turns_per_sec","turns":$nTurns,"input_rows":$inputRows,"batches":$batches,"sec":$sec%.3f,"turns_per_sec":${inputRows / sec}%.1f,"files_per_trigger":$filesPerTrigger}"""
+      f"""{"metric":"stream_turns_per_sec","turns":$nTurns,"input_rows":$inputRows,"batches":$batches,"sec":$sec%.3f,"turns_per_sec":${inputRows / sec}%.1f,"files_per_trigger":$filesPerTrigger,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}"}"""
     println(json)
     spark.stop()
   }
