@@ -114,6 +114,30 @@ object StreamingIngest {
       )
   }
 
+  /** Streaming sessionization — the streaming twin of the batch
+    * q_sessionize query (gap-based sessions), using Spark's NATIVE
+    * session_window aggregation: maximal runs of a key's events with gaps
+    * < `gap`, closed and emitted (append mode) once the watermark passes a
+    * session's end. No custom state needed — the session-window state store
+    * is Spark's own, bounded by the watermark. */
+  def sessionCountsStream(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col(keyCol), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+
   /** Streaming triple emission: stateless transform — every micro-batch
     * appends its MENTIONS_CONCEPT edges (the batch path's exactly-once
     * bucket checkpointing is replaced by the streaming sink's own

@@ -72,6 +72,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionization: native session windows close at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val sessions = graft.streaming.StreamingIngest
+      .sessionCountsStream(spark, events, gap = "30 minutes", watermarkDelay = "10 minutes")
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_stream")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user u1: burst at t0..t0+10m (one session), burst at t0+2h..+2h5m
+      // (second session); u2 event far in the future advances the watermark
+      // past both sessions' ends so append mode emits them
+      input.addData(("u1", ts(0)), ("u1", ts(10)), ("u1", ts(120)), ("u1", ts(125)))
+      query.processAllAvailable()
+      input.addData(("u2", ts(600)))
+      query.processAllAvailable()
+      val got = spark
+        .table("sessions_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(3)))
+        .toSeq
+        .sorted
+      assert(got == Seq(("u1", 2L), ("u1", 2L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("stateful incremental edges: at-least-once replays emit no duplicates (streaming MERGE)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
