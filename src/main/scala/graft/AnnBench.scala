@@ -50,7 +50,7 @@ object AnnBench {
     val spark = Bench.session(cpus)
 
     val path = s"/tmp/graft_ann_bench_$n"
-    if (!new java.io.File(path).exists())
+    if (!Bench.parquetComplete(path))
       synthesize(spark, n, nCells).repartition(cpus * 2).write.mode("overwrite").parquet(path)
     val emb = spark.read.parquet(path)
     emb.count() // warm page cache

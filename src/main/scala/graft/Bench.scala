@@ -53,6 +53,12 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** A parquet dataset is reusable only if its _SUCCESS marker exists — a
+    * killed writer leaves the directory behind, and benching against a
+    * partial corpus would silently record wrong numbers. */
+  def parquetComplete(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
   /** The measured KG job: read transcripts parquet -> stable ordering ->
     * eligible-turn filters -> gazetteer extraction -> triple edges. Returns
     * (triples, seconds). */
@@ -76,7 +82,7 @@ object Bench {
     // the 33-query sweep below pollutes JIT/GC state and adds >30% variance
     // to a later measurement) --------------------------------------------------
     val synthPath = s"/tmp/graft_bench_transcripts_v2_$synthTurns"
-    if (!new java.io.File(synthPath).exists()) {
+    if (!parquetComplete(synthPath)) {
       val gen = session(cpus)
       Transcripts
         .synthesize(gen, synthTurns, nConvs = synthTurns / 200)

@@ -48,10 +48,13 @@ object CcBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_CC_NODES", "2000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // a ragged tail block would emit a chain edge to a node outside the id
+    // range (phantom node) and break the one-component-per-block structure
+    require(n % BlockSize == 0, s"n must be a multiple of $BlockSize")
     val spark = Bench.session(cpus)
 
     val path = s"/tmp/graft_cc_bench_$n"
-    if (!new java.io.File(path).exists())
+    if (!Bench.parquetComplete(path))
       synthesize(spark, n).repartition(cpus * 4).write.mode("overwrite").parquet(path)
     val edges = spark.read.parquet(path)
     val nEdges = edges.count() // warm page cache
@@ -69,6 +72,13 @@ object CcBench {
     val c2 = components.select(col("node").as("component"), col("component").as("root"))
     val broken = c1.join(c2, Seq("component")).where(col("root") =!= col("component")).count()
     require(broken == 0, s"$broken nodes point at non-root components")
+    // structural truth: the block design makes the answer known — a CC
+    // regression that over-merges or under-merges must fail here, not just
+    // satisfy the fixpoint vacuously
+    require(
+      nComponents == n / BlockSize,
+      s"expected ${n / BlockSize} per-block components, got $nComponents"
+    )
 
     val json =
       f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true}"""

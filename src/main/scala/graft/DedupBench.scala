@@ -64,12 +64,13 @@ object DedupBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_N", "1000000").toLong
+    require(n >= 1000, "corpus too small for the planted-pair recall stats")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val (bands, rowsPerBand, threshold) = (8, 4, 0.5)
     val spark = Bench.session(cpus)
 
     val corpusPath = s"/tmp/graft_dedup_bench_$n"
-    if (!new java.io.File(corpusPath).exists())
+    if (!Bench.parquetComplete(corpusPath))
       synthesize(spark, n).repartition(cpus * 4).write.mode("overwrite").parquet(corpusPath)
     val docs = spark.read.parquet(corpusPath)
     docs.count() // warm page cache
@@ -85,17 +86,18 @@ object DedupBench {
     }
     val sigs = spark.read.parquet(indexPath)
 
-    // candidate generation + exact verification from the persisted index
-    val (nPairs, pairSec) = time {
-      Dedup.minhashPairs(docs, threshold, bands, rowsPerBand, Some(sigs)).count()
-    }
-
-    // recall per planted tier: easy (i, i+9) at s=0.959, hard (i, i+8) at
-    // s=0.811 — analytic catch probabilities ~1.0 and 0.989 respectively
+    // candidate generation + exact verification from the persisted index —
+    // ONE execution: the timed count materializes the cache the recall
+    // checks reuse (re-running the pipeline for recall would double the
+    // heaviest stage)
     val found = Dedup
       .minhashPairs(docs, threshold, bands, rowsPerBand, Some(sigs))
       .select("doc_a", "doc_b")
       .cache()
+    val (nPairs, pairSec) = time { found.count() }
+
+    // recall per planted tier: easy (i, i+9) at s=0.959, hard (i, i+8) at
+    // s=0.811 — analytic catch probabilities ~1.0 and 0.989 respectively
     def recallOf(offset: Int): (Long, Double) = {
       val planted = spark
         .range(n)

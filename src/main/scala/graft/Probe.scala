@@ -85,7 +85,7 @@ object Probe {
       return
     }
     val path = if (args.nonEmpty) args(0) else "/tmp/graft_bench_transcripts_v2_8000000"
-    if (!new java.io.File(path).exists()) {
+    if (!Bench.parquetComplete(path)) {
       val s = Bench.session(32)
       graft.kg.Transcripts
         .synthesize(s, 8000000L, 40000L)

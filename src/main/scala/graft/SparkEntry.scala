@@ -449,9 +449,9 @@ object SparkEntry {
         |  CAST(lang AS VARCHAR) AS declared_lang
         |FROM t""".stripMargin,
     "text_cdc" ->
-      """SELECT d.doc_id, f.chunk_idx, f.start, f."end", f.chunk_md5
+      s"""SELECT d.doc_id, f.chunk_idx, f.start, f."end", f.chunk_md5
         |FROM documents d
-        |JOIN read_parquet('/root/repo/src/test/resources/ref_cdc_chunks.parquet') f
+        |JOIN read_parquet('${OracleGen.repoRoot}/src/test/resources/ref_cdc_chunks.parquet') f
         |  ON md5(d.text) = f.text_md5""".stripMargin,
     "mm_frames" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, length(text) // 64)) AS i, text FROM documents)

@@ -50,7 +50,7 @@ object StreamBench {
       )
 
     val inputPath = s"/tmp/graft_stream_bench_$nTurns"
-    if (!new java.io.File(inputPath).exists()) {
+    if (!Bench.parquetComplete(inputPath)) {
       Transcripts
         .synthesize(spark, nTurns, nConvs = nTurns / 200)
         .repartition(128)

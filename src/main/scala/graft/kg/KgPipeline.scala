@@ -172,26 +172,42 @@ object KgPipeline {
   def triples(spark: SparkSession, sfDir: String, concepts: Vector[Concept] = defaultConcepts): DataFrame =
     triplesFromTurns(spark, eligibleTurns(Transcripts.read(spark, sfDir)), concepts)
 
-  /** Shuffle-free triple materialization: every branch is distinct by
-    * construction (see extractMentionEdges), so the only wide operation left
-    * in the whole path is the ordering window — and Catalyst prunes even
-    * that here because turn_seq is not referenced. */
-  def triplesFromTurns(spark: SparkSession, turns: DataFrame, concepts: Vector[Concept]): DataFrame = {
+  /** The three edge families of the triple layer, optionally carrying extra
+    * sink columns: conversation-derived branches evaluate `convCols` against
+    * their source rows (which expose conv_id), the concept-store branch
+    * carries `dimCols`. The SINGLE source of truth for both the query path
+    * (triplesFromTurns) and the MERGE sink (writeTriplesMerge) — a new edge
+    * family added here reaches both. */
+  private def tripleUnion(
+      spark: SparkSession,
+      turns: DataFrame,
+      concepts: Vector[Concept],
+      convCols: Seq[org.apache.spark.sql.Column],
+      dimCols: Seq[org.apache.spark.sql.Column]
+  ): DataFrame = {
     import spark.implicits._
     val passageId = concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"))
     val hasPassage = turns.select(
-      col("conv_id").as("subj"),
-      lit("HAS_PASSAGE").as("pred"),
-      passageId.as("obj")
+      Seq(col("conv_id").as("subj"), lit("HAS_PASSAGE").as("pred"), passageId.as("obj")) ++ convCols: _*
     )
     val mentionEdges = extractMentionEdges(spark, turns, concepts)
-      .select(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj"))
+      .select(
+        Seq(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj")) ++ convCols: _*
+      )
     val ids = concepts.map(_.wikibaseId).toSet
     val conceptEdges = DemoConceptStore.conceptEdges
       .filter { case (s, _, o) => ids(s) && ids(o) }
       .toDF("subj", "pred", "obj")
-    hasPassage.union(mentionEdges).union(conceptEdges)
+      .select(Seq(col("subj"), col("pred"), col("obj")) ++ dimCols: _*)
+    hasPassage.unionByName(mentionEdges).unionByName(conceptEdges)
   }
+
+  /** Shuffle-free triple materialization: every branch is distinct by
+    * construction (see extractMentionEdges), so the only wide operation left
+    * in the whole path is the ordering window — and Catalyst prunes even
+    * that here because turn_seq is not referenced. */
+  def triplesFromTurns(spark: SparkSession, turns: DataFrame, concepts: Vector[Concept]): DataFrame =
+    tripleUnion(spark, turns, concepts, Nil, Nil)
 
   /** MERGE-semantics triple sink — the parquet stand-in for Cypher MERGE /
     * Iceberg MERGE INTO (update_neo4j.py:107-124): dynamic-partition
@@ -217,32 +233,14 @@ object KgPipeline {
       path: String,
       nBuckets: Int = Checkpoint.DefaultBuckets
   ): Unit = {
-    import spark.implicits._
     import org.apache.spark.sql.SaveMode
-    val bucket = Checkpoint.bucketCol("conv_id", nBuckets)
-    val passageId = concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"))
-    val hasPassage = turns.select(
-      col("conv_id").as("subj"),
-      lit("HAS_PASSAGE").as("pred"),
-      passageId.as("obj"),
-      bucket
-    )
-    val mentionEdges = extractMentionEdges(spark, turns, concepts)
-      .select(
-        passageId.as("subj"),
-        lit("MENTIONS_CONCEPT").as("pred"),
-        col("concept_id").as("obj"),
-        bucket
-      )
-    val ids = concepts.map(_.wikibaseId).toSet
-    val conceptEdges = DemoConceptStore.conceptEdges
-      .filter { case (s, _, o) => ids(s) && ids(o) }
-      .toDF("subj", "pred", "obj")
-      .withColumn("bucket", lit(nBuckets))
-    hasPassage
-      .unionByName(mentionEdges)
-      .unionByName(conceptEdges)
-      .write
+    tripleUnion(
+      spark,
+      turns,
+      concepts,
+      convCols = Seq(Checkpoint.bucketCol("conv_id", nBuckets)),
+      dimCols = Seq(lit(nBuckets).as("bucket"))
+    ).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")

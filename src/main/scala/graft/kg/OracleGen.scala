@@ -194,7 +194,12 @@ object OracleGen {
   // (/root/reference/knowledge_graph/span.py:82-91) — so keying by md5(text)
   // is exact at any scale factor.
 
-  val refMentionsPath: String = "/root/repo/src/test/resources/ref_mentions.parquet"
+  /** Repo root at oracle-GENERATION time (Verify runs via sbt from the repo
+    * checkout), so the committed fixture paths survive a relocated checkout
+    * instead of hard-coding /root/repo. */
+  val repoRoot: String = sys.props.getOrElse("user.dir", "/root/repo")
+
+  val refMentionsPath: String = s"$repoRoot/src/test/resources/ref_mentions.parquet"
 
   val refMentionsCte: String =
     s"""ref_mentions AS (
@@ -299,7 +304,7 @@ object OracleGen {
        |         CASE WHEN doc_id % 3 = 0 THEN substr(nm, 1, p - 1) || substr(nm, p + 1, 1000000) ELSE nm END AS geo_string
        |  FROM base)
        |SELECT s.doc_id, s.geo_string, f.iso
-       |FROM s JOIN read_parquet('/root/repo/src/test/resources/ref_geo_links.parquet') f USING (geo_string)""".stripMargin
+       |FROM s JOIN read_parquet('$repoRoot/src/test/resources/ref_geo_links.parquet') f USING (geo_string)""".stripMargin
   }
 
   /** G1 multi-classifier collation: keyword-pass counts (regex twin of the
