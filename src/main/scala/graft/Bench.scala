@@ -100,36 +100,57 @@ object Bench {
     var secWrite = 0.0
     var mainThroughput = 0.0
     if (runScaling) {
-      // one warm-up then time-budgeted repeats per leg (>=5 runs, up to ~75s
-      // of sampling, max 15), System.gc() between runs: single-JVM timings
-      // vary with JIT state, GC debt and page cache; min wall-clock over
-      // enough samples is the stable capability measure for a throughput
-      // ratio
-      def leg(cpus: Int): (Long, Double) = {
-        val s = session(cpus)
-        val warm = kgJob(s, synthPath)
-        val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-        val budgetStart = System.nanoTime()
-        var n = 0
-        while (n < 5 || ((System.nanoTime() - budgetStart) < 75e9 && n < 15)) {
-          System.gc()
-          samples += kgJob(s, synthPath)
-          n += 1
-        }
+      // INTERLEAVED paired sampling. Round-2 post-mortem: running all p8
+      // samples then all p32 samples made the efficiency quotient sensitive
+      // to time-varying sandbox contention — the recorded run had the p32
+      // *warm-up* faster than the min of 5 later timed samples, i.e. the
+      // environment degraded mid-leg and only the p32 leg paid. Here each
+      // pair runs both parallelism levels adjacent in time (intra-pair order
+      // alternating to cancel monotonic drift), so contention hits both legs
+      // of a pair equally and the per-pair ratio stays a clean measure of
+      // parallel scalability. efficiency = median over pair ratios; the
+      // headline throughput = triples / best p32 sample (capability).
+      def runLeg(c: Int): (Long, Double) = {
+        val s = session(c)
+        System.gc()
+        val r = kgJob(s, synthPath)
         s.stop()
-        if (cpus == 32) { triples32 = warm._1; sec32first = warm._2 }
-        (samples.head._1, samples.map(_._2).min)
+        r
       }
-      val (t8, sec8) = leg(8)
-      val (t32, sec32) = leg(32)
-      secMain = sec32
-      require(t8 == t32, s"triple counts differ across parallelism: $t8 vs $t32")
-      val thr8 = t8 / sec8
-      val thr32 = t32 / sec32
-      val eff = (thr32 / thr8) / 4.0
+      // one warm run per parallelism level first: JIT profiles persist
+      // across SparkSessions in the same JVM, so later samples are all warm
+      val warm8 = runLeg(8)
+      val warm32 = runLeg(32)
+      triples32 = warm32._1
+      sec32first = warm32._2
+      require(
+        warm8._1 == warm32._1,
+        s"triple counts differ across parallelism: ${warm8._1} vs ${warm32._1}")
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val budgetStart = System.nanoTime()
+      var i = 0
+      while (i < 4 || ((System.nanoTime() - budgetStart) < 150e9 && i < 8)) {
+        val p =
+          if (i % 2 == 0) { val a = runLeg(8)._2; val b = runLeg(32)._2; (a, b) }
+          else { val b = runLeg(32)._2; val a = runLeg(8)._2; (a, b) }
+        pairs += p
+        i += 1
+      }
+      val effs = pairs.map { case (s8, s32) => s8 / (4.0 * s32) }.sorted
+      val effMedian =
+        if (effs.size % 2 == 1) effs(effs.size / 2)
+        else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
+      val sec8Best = (pairs.map(_._1) :+ warm8._2).min
+      val sec32Best = (pairs.map(_._2) :+ warm32._2).min
+      secMain = sec32Best
+      val thr8 = triples32 / sec8Best
+      val thr32 = triples32 / sec32Best
       mainThroughput = thr32
+      val pairsJson = pairs
+        .map { case (s8, s32) => f"""{"sec_p8":$s8%.3f,"sec_p32":$s32%.3f,"eff":${s8 / (4.0 * s32)}%.3f}""" }
+        .mkString("[", ",", "]")
       scalingJson =
-        f"""{"parallelism_low":8,"parallelism_high":32,"triples":$t32,"sec_p8":$sec8%.3f,"sec_p32":$sec32%.3f,"triples_per_sec_p8":$thr8%.1f,"triples_per_sec_p32":$thr32%.1f,"efficiency":$eff%.3f}"""
+        f"""{"parallelism_low":8,"parallelism_high":32,"triples":$triples32,"sec_p8":$sec8Best%.3f,"sec_p32":$sec32Best%.3f,"triples_per_sec_p8":$thr8%.1f,"triples_per_sec_p32":$thr32%.1f,"efficiency":$effMedian%.3f,"efficiency_best_legs":${(thr32 / thr8) / 4.0}%.3f,"method":"interleaved paired legs, median of per-pair ratios","pairs":$pairsJson}"""
     }
 
     // ---- part 2: write-inclusive end-to-end + per-query timings ------------

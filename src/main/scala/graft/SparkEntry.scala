@@ -155,13 +155,24 @@ object SparkEntry {
       Dedup.exact(d.unionByName(planted))
     }),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
-    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), threshold = 0.5).select("doc_a", "doc_b")),
+    // the band-bucket self-join would re-execute the signature subtree
+    // (shingle explode + 32 min-aggs) on both sides — localCheckpoint the
+    // signature index once so both join sides read materialized rows (the
+    // same role a persisted signature table plays at 100 TB)
+    "dedup_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = Dedup.minhashSignatures(d, k = 32).localCheckpoint()
+      Dedup.minhashPairs(d, threshold = 0.5, preSigs = Some(sigs)).select("doc_a", "doc_b")
+    }),
     // oracle-checked simhash runs the portable md5-based 60-bit token hash so
     // DuckDB can recompute signatures from scratch; prod default is xxhash64
-    "dedup_simhash" -> ((s, dir) =>
+    "dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = Dedup.simhash(d, nBits = 60, tokenHash = Dedup.portableTokenHash).localCheckpoint()
       Dedup
-        .simhashPairs(docs(s, dir), maxHamming = 3, nBits = 60, tokenHash = Dedup.portableTokenHash)
-        .select("doc_a", "doc_b")),
+        .simhashPairs(d, maxHamming = 3, nBits = 60, tokenHash = Dedup.portableTokenHash, preSigs = Some(sigs))
+        .select("doc_a", "doc_b")
+    }),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDups(emb(s, dir), nQueries = 200, threshold = 0.4)),
     // scale path: IVF-cell-blocked candidates + exact verify, same oracle as
     // the brute-force baseline (recall 1.0 at nProbe=6/16 on this corpus)
@@ -329,6 +340,51 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .select("event_id", "event_type", "rn")
+    }),
+    // ---- eval harness (G6): span-level P/R confusion sweep ------------------
+    // gold = the executed-reference fixture spans; predicted = the ENGINE
+    // classifier's mentions run through a deterministic perturbation (drop a
+    // 5-residue, stretch ends on a 7-residue, inject spurious (0,7) spans on
+    // an 11-residue of turns) so TP/FP/FN genuinely move with the jaccard
+    // threshold instead of being an all-TP tautology. The oracle re-derives
+    // both sides in SQL (predicted from ref_mentions — legitimate because
+    // kg_mentions proves engine==fixture byte-exactly) and recomputes the
+    // counts with a different strategy (per-span max-jaccard vs the engine's
+    // per-passage array filters).
+    "eval_pr" -> ((s, dir) => {
+      val turns = KgPipeline
+        .eligibleTurns(Transcripts.read(s, dir))
+        .select(concat_ws("|", col("conv_id"), col("turn_idx")).as("passage_id"), col("text"), col("turn_idx"))
+      val fixture = s.read.parquet(OracleGen.refMentionsPath)
+      val gold = turns
+        .join(fixture, md5(col("text")) === col("text_md5"))
+        .groupBy("passage_id")
+        .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
+      val perturbed = mentions(s, dir)
+        .where((col("start") + col("end") + col("turn_idx")) % 5 =!= 0)
+        .select(
+          concat_ws("|", col("conv_id"), col("turn_idx")).as("passage_id"),
+          struct(
+            col("start"),
+            when((col("start") + col("end")) % 7 === 3, col("end") + 3).otherwise(col("end")).as("end")
+          ).as("sp")
+        )
+      val spurious = turns
+        .where(col("turn_idx") % 11 === 7 && length(col("text")) >= 10)
+        .select(col("passage_id"), struct(lit(0).as("start"), lit(7).as("end")).as("sp"))
+      val pred = perturbed
+        .unionByName(spurious)
+        .groupBy("passage_id")
+        .agg(collect_list(col("sp")).as("spans"))
+      // left-join back onto the full turn universe so mention-free turns
+      // participate as true negatives
+      val universe = turns.select("passage_id")
+      graft.eval.Metrics
+        .spanLevelSweep(
+          universe.join(gold, Seq("passage_id"), "left"),
+          universe.join(pred, Seq("passage_id"), "left"),
+          Seq(0, 50, 90, 99)
+        )
     })
   )
 
@@ -336,6 +392,7 @@ object SparkEntry {
     "kg_transcripts" -> OracleGen.transcriptsSql,
     "kg_turns_ordered" -> OracleGen.turnsOrderedSql,
     "kg_mentions" -> OracleGen.mentionsSql,
+    "eval_pr" -> OracleGen.evalPrSql,
     "kg_passage_concepts" -> OracleGen.passageConceptsSql,
     "kg_spans_v2" -> OracleGen.spansV2Sql,
     "kg_linked_surfaces" -> OracleGen.linkedSurfacesSql,

@@ -91,15 +91,27 @@ object Dedup {
       .distinct()
 
   /** Exact-Jaccard verification of candidate pairs. The corpus is
-    * semi-join-pruned to candidate ids (broadcast) BEFORE shingle arrays are
-    * materialized: verification shuffles only the few candidate docs'
-    * arrays, not every doc's. */
-  def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    * semi-join-pruned to candidate ids BEFORE shingle arrays are
+    * materialized: verification shuffles only the candidate docs' arrays,
+    * not every doc's.
+    *
+    * Cardinality note: the candidate-id set is broadcast only when
+    * `broadcastCandidates` (default on — near-dup fractions are small in
+    * practice). On a corpus where near-duplicates dominate, the candidate
+    * set is O(corpus) and a driver broadcast becomes the hotspot — pass
+    * `broadcastCandidates = false` to use a shuffle semi-join instead; the
+    * plan stays identical otherwise. */
+  def verifyJaccard(
+      cand: DataFrame,
+      docs: DataFrame,
+      threshold: Double,
+      broadcastCandidates: Boolean = true
+  ): DataFrame = {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val sh = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(if (broadcastCandidates) broadcast(candIds) else candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles("text").as("sh"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -168,11 +180,15 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       nBits: Int = 64,
-      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_)
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
+      preSigs: Option[DataFrame] = None
   ): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= nBits, s"need at least one bit per chunk: maxHamming=$maxHamming, nBits=$nBits")
-    val sigs = simhash(docs, nBits, tokenHash)
+    // preSigs: a persisted (doc_id, simhash) index — without it the chunk
+    // self-join re-executes the token explode + nBits bit-sum aggregation on
+    // both sides
+    val sigs = preSigs.getOrElse(simhash(docs, nBits, tokenHash))
     val chunks = (0 until nChunks).map { c =>
       val start = c * nBits / nChunks
       val width = (c + 1) * nBits / nChunks - start

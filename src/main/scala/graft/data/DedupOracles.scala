@@ -9,7 +9,15 @@ package graft.data
   *
   *  - MinHash: true Jaccard over word-3-gram shingles for every pair sharing
   *    at least one shingle (a pair with Jaccard >= t > 0 must share one, so
-  *    the shingle-join prune loses nothing).
+  *    the shingle-join prune loses nothing). NOTE: unlike SimHash's
+  *    pigeonhole blocking, banded LSH is probabilistic — a pair at exactly
+  *    the threshold (s = 0.5, b = 8, r = 4) is caught with only
+  *    1-(1-s^r)^b ~ 40% probability, so exact set equality with the
+  *    all-pairs truth is CORPUS-CONDITIONAL: it holds because the planted
+  *    near-dup tiers sit far from the threshold (catch probability ~ 1) and
+  *    the corpus has no organic near-threshold pairs. A new corpus can break
+  *    this row without an engine bug; recall-vs-prediction at scale is
+  *    DedupBench's job (1M docs, 0.9889 vs 0.989 analytic).
   *  - SimHash: signatures recomputed from scratch in SQL (bit-sign sums over
   *    a portable md5-based 60-bit token hash), all-pairs Hamming filter. The
   *    engine's 4-chunk pigeonhole blocking is provably lossless for
@@ -37,12 +45,18 @@ object DedupOracles {
   val tokenHashExpr: String = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
 
   def simhashSql(nBits: Int = 60, maxHamming: Int = 3): String = {
-    require(nBits % 4 == 0)
-    val chunkBits = nBits / 4
+    // the chunk split here is only a representation of the nBits signature
+    // in BIGINT columns for the all-pairs Hamming sum — it shares the
+    // engine's nChunks = maxHamming + 1 so the two parameterizations can
+    // never drift (the engine's pigeonhole blocking needs that count; the
+    // oracle would be exact truth at any split)
+    val nChunks = maxHamming + 1
+    require(nBits % nChunks == 0, s"nBits=$nBits must split evenly into ${nChunks} chunks")
+    val chunkBits = nBits / nChunks
     val bitSums = (0 until nBits)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
       .mkString(", ")
-    val chunkExprs = (0 until 4)
+    val chunkExprs = (0 until nChunks)
       .map { c =>
         val bits = (0 until chunkBits)
           .map(i => s"(CASE WHEN s_${c * chunkBits + i} > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
@@ -50,13 +64,13 @@ object DedupOracles {
         s"($bits) AS c_$c"
       }
       .mkString(", ")
+    val hammingSum = (0 until nChunks).map(c => s"bit_count(xor(a.c_$c, b.c_$c))").mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, $tokenHashExpr AS h FROM toks),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
        |sig AS (SELECT doc_id, $chunkExprs FROM bits)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.c_0, b.c_0)) + bit_count(xor(a.c_1, b.c_1))
-       |    + bit_count(xor(a.c_2, b.c_2)) + bit_count(xor(a.c_3, b.c_3)) <= $maxHamming""".stripMargin
+       |WHERE $hammingSum <= $maxHamming""".stripMargin
   }
 }

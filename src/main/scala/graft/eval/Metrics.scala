@@ -121,4 +121,54 @@ object Metrics {
       sum(when(col("both_empty"), 0L).otherwise(col("fn_raw"))).as("fn")
     )
   }
+
+  /** Threshold sweep in ONE pass: the same counts as spanLevelDF at each
+    * jaccard threshold, computed from a single gold⋈predicted join (the
+    * per-threshold filters are extra codegen'd columns, not extra shuffles —
+    * at 100 TB a 4-threshold sweep costs the same join as one threshold).
+    * Inputs as spanLevelDF; thresholds given as integer percents so the
+    * output stays float-free: (threshold_pct, tp, fp, tn, fn). */
+  def spanLevelSweep(gold: DataFrame, predicted: DataFrame, thresholdsPct: Seq[Int]): DataFrame = {
+    val j = gold
+      .withColumnRenamed("spans", "g")
+      .join(predicted.withColumnRenamed("spans", "p"), Seq("passage_id"), "full")
+      .withColumn("g", coalesce(col("g"), array()))
+      .withColumn("p", coalesce(col("p"), array()))
+
+    def jac(a: Column, b: Column): Column = {
+      val inter = greatest(
+        lit(0),
+        least(a.getField("end"), b.getField("end")) - greatest(a.getField("start"), b.getField("start"))
+      )
+      val union = greatest(a.getField("end"), b.getField("end")) -
+        least(a.getField("start"), b.getField("start"))
+      inter.cast("double") / union
+    }
+
+    val perRow = thresholdsPct.flatMap { pct =>
+      val t = lit(pct / 100.0)
+      Seq(
+        size(filter(col("g"), gs => exists(col("p"), ps => jac(gs, ps) > t))).cast("long").as(s"tp_$pct"),
+        size(filter(col("g"), gs => !exists(col("p"), ps => jac(gs, ps) > t))).cast("long").as(s"fn_$pct"),
+        size(filter(col("p"), ps => !exists(col("g"), gs => jac(ps, gs) > t))).cast("long").as(s"fp_$pct")
+      )
+    } :+ when(size(col("g")) === 0 && size(col("p")) === 0, 1L).otherwise(0L).as("tn")
+
+    val sums = thresholdsPct.flatMap(pct =>
+      Seq(sum(s"tp_$pct").as(s"tp_$pct"), sum(s"fn_$pct").as(s"fn_$pct"), sum(s"fp_$pct").as(s"fp_$pct"))
+    ) :+ sum("tn").as("tn")
+    val one = j.select(perRow: _*).agg(sums.head, sums.tail: _*)
+
+    one
+      .select(explode(array(thresholdsPct.map { pct =>
+        struct(
+          lit(pct).as("threshold_pct"),
+          col(s"tp_$pct").as("tp"),
+          col(s"fp_$pct").as("fp"),
+          col("tn").as("tn"),
+          col(s"fn_$pct").as("fn")
+        )
+      }: _*)).as("r"))
+      .select(col("r.threshold_pct"), col("r.tp"), col("r.fp"), col("r.tn"), col("r.fn"))
+  }
 }

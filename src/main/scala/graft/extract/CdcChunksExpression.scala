@@ -33,14 +33,16 @@ case class CdcChunks(child: Expression) extends UnaryExpression with CodegenFall
     ),
     containsNull = false
   )
-  override def nullable: Boolean = false
+  // null propagates like any Spark expression (a null text is NOT an empty
+  // document — GeoLink has the same contract)
+  override def nullable: Boolean = child.nullable
 
   @transient private lazy val digestTL: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return new GenericArrayData(Array.empty[Any])
+    if (v == null) return null
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val ends = RollingChunker.boundaries(bytes)
     val md = digestTL.get()

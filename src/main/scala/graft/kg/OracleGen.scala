@@ -194,10 +194,24 @@ object OracleGen {
   // (/root/reference/knowledge_graph/span.py:82-91) — so keying by md5(text)
   // is exact at any scale factor.
 
-  /** Repo root at oracle-GENERATION time (Verify runs via sbt from the repo
-    * checkout), so the committed fixture paths survive a relocated checkout
-    * instead of hard-coding /root/repo. */
-  val repoRoot: String = sys.props.getOrElse("user.dir", "/root/repo")
+  /** Repo root at oracle-GENERATION time: -Dgraft.repoRoot wins, else a
+    * classpath anchor (three levels up from the sbt classes directory,
+    * "target/scala-2.13/classes", validated by the build.sbt there), else
+    * user.dir (correct when Verify runs via sbt from the checkout). Every
+    * fixture-backed oracle breaks loudly at once if this resolves wrong, so
+    * prefer the launch-directory-independent anchors. */
+  val repoRoot: String =
+    sys.props.get("graft.repoRoot").orElse {
+      // classes dir is <repo>/target/scala-2.13/classes when run via sbt
+      Option(getClass.getProtectionDomain.getCodeSource)
+        .map(_.getLocation.toURI)
+        .filter(_.getScheme == "file")
+        .map(u => new java.io.File(u))
+        .filter(_.isDirectory)
+        .flatMap(d => Option(d.getParentFile).flatMap(p => Option(p.getParentFile)).flatMap(t => Option(t.getParentFile)))
+        .filter(r => new java.io.File(r, "build.sbt").isFile)
+        .map(_.getAbsolutePath)
+    }.getOrElse(sys.props.getOrElse("user.dir", "/root/repo"))
 
   val refMentionsPath: String = s"$repoRoot/src/test/resources/ref_mentions.parquet"
 
@@ -235,6 +249,61 @@ object OracleGen {
        |SELECT conv_id, turn_idx, start, "end",
        |  array_to_string(list_sort(list(DISTINCT concept_id)), ',') AS concepts_v2_str
        |FROM ref_mentions GROUP BY conv_id, turn_idx, start, "end"""".stripMargin
+
+  /** G6 eval harness oracle: span-level confusion counts at jaccard
+    * thresholds {0, .5, .9, .99} (metrics.py:98-142 semantics). Gold = the
+    * executed-reference fixture spans; predicted = the same spans under the
+    * deterministic perturbation the engine applies to its OWN mentions
+    * (engine mentions == fixture is proven by the kg_mentions row, so
+    * deriving predicted from ref_mentions here is an independent re-check of
+    * the COUNTING, not of extraction). Counting strategy is deliberately
+    * different from the engine's per-passage array filters: per-span
+    * max-jaccard via join+group, thresholded afterwards (max > t  <=>
+    * exists jac > t). Jaccard uses the same envelope formula as
+    * Metrics.spanLevelDF — identical int arithmetic then one double
+    * division, so comparisons are bit-exact across engines. */
+  val evalPrSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |gold AS (SELECT conv_id, turn_idx, start, "end", span_id FROM ref_mentions),
+       |pred AS (
+       |  SELECT conv_id, turn_idx, start,
+       |         CASE WHEN (start + "end") % 7 = 3 THEN "end" + 3 ELSE "end" END AS "end",
+       |         span_id
+       |  FROM ref_mentions WHERE (start + "end" + turn_idx) % 5 <> 0
+       |  UNION ALL
+       |  SELECT conv_id, turn_idx, 0 AS start, 7 AS "end",
+       |         'spur|' || conv_id || '|' || CAST(turn_idx AS VARCHAR) AS span_id
+       |  FROM turns WHERE turn_idx % 11 = 7 AND len(text) >= 10),
+       |gold_best AS (
+       |  SELECT g.conv_id, g.turn_idx, g.span_id,
+       |         COALESCE(MAX(CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
+       |                      / (GREATEST(g."end", p."end") - LEAST(g.start, p.start))), -1) AS best
+       |  FROM gold g LEFT JOIN pred p ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+       |  GROUP BY 1, 2, 3),
+       |pred_best AS (
+       |  SELECT p.conv_id, p.turn_idx, p.span_id,
+       |         COALESCE(MAX(CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
+       |                      / (GREATEST(g."end", p."end") - LEAST(g.start, p.start))), -1) AS best
+       |  FROM pred p LEFT JOIN gold g ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+       |  GROUP BY 1, 2, 3),
+       |th AS (SELECT unnest([0, 50, 90, 99]) AS threshold_pct),
+       |counts_g AS (
+       |  SELECT th.threshold_pct,
+       |         CAST(SUM(CASE WHEN gb.best > th.threshold_pct / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN gb.best > th.threshold_pct / 100.0 THEN 0 ELSE 1 END) AS BIGINT) AS fn
+       |  FROM th CROSS JOIN gold_best gb GROUP BY 1),
+       |counts_p AS (
+       |  SELECT th.threshold_pct,
+       |         CAST(SUM(CASE WHEN pb.best > th.threshold_pct / 100.0 THEN 0 ELSE 1 END) AS BIGINT) AS fp
+       |  FROM th CROSS JOIN pred_best pb GROUP BY 1),
+       |tn_c AS (
+       |  SELECT COUNT(*) AS tn FROM turns t
+       |  WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx)
+       |    AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx))
+       |SELECT cg.threshold_pct, cg.tp, cp.fp, tn_c.tn, cg.fn
+       |FROM counts_g cg JOIN counts_p cp USING (threshold_pct) CROSS JOIN tn_c""".stripMargin
 
   /** Dictionary VALUES for the linking oracles: (label_lc, concept_id, kind)
     * for every preferred and alternative label — the SQL twin of the

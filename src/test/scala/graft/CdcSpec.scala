@@ -84,4 +84,22 @@ class CdcSpec extends AnyFunSuite {
     got.foreach { case (t, cs) => assert(cs == localChunks(t), s"text='${t.take(40)}'") }
     assert(got.nonEmpty)
   }
+
+  test("null text propagates to a null chunk array (not an empty one)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, Option("one two three")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.extract.CdcChunks.cdcChunks(col("text")).as("chunks"))
+      .orderBy("doc_id")
+      .collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getSeq[Any](1).nonEmpty)
+    assert(rows(1).isNullAt(1), "null input must yield null, not empty array")
+    // empty string stays distinguishable: zero chunks but non-null
+    val empty = Seq((3L, "")).toDF("doc_id", "text")
+      .select(graft.extract.CdcChunks.cdcChunks(col("text")).as("chunks"))
+      .collect()(0)
+    assert(!empty.isNullAt(0) && empty.getSeq[Any](0).isEmpty)
+  }
 }
