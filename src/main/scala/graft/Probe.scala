@@ -80,6 +80,44 @@ object Probe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("micro")) { micro(); return }
+    if (args.headOption.contains("mh_ab")) {
+      import org.apache.spark.sql.functions._
+      val sfDir = args(1)
+      val spark = Bench.session(32)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count()
+      def timeN(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"[ab] $name%-14s run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
+        }
+      val expl = docs.select(col("doc_id"), explode(graft.data.Dedup.shingles("text")).as("shingle"))
+      timeN("explode_only")(expl)
+      timeN("sig_str32") {
+        val aggs = (0 until 32).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+        expl.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      }
+      timeN("sig_base32")(graft.data.Dedup.minhashSignatures(docs, 32))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("query")) {
+      // time named SparkEntry queries: Probe query <sfDir> <name> [name...]
+      val sfDir = args(1)
+      val spark = Bench.session(32)
+      spark.read.parquet(s"$sfDir/documents.parquet").count() // warm-up
+      args.drop(2).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          println(f"[probe] $name%-24s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+        }
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("resume")) {
       resumeDemo(if (args.length > 1) args(1) else "/tmp/graft_bench_transcripts_v2_16000000")
       return

@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators over the `documents` table — the
@@ -23,10 +23,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
       .where(col("n_docs") > 1)
 
-  /** Distinct word-3-gram shingles of a text column (size-n+1 shingles; empty
-    * array for texts shorter than n tokens). */
-  def shingles(textCol: String, n: Int = 3) = {
-    val toks = split(col(textCol), " ")
+  /** Distinct word-n-gram shingles from a MATERIALIZED token-array column.
+    * The token array must be a bound column (produced by a projection), not
+    * an inline split(...): Spark does not hoist lambda-invariant
+    * subexpressions, so an inline split inside this transform would re-split
+    * the text once per shingle per gram position (measured 3-4x the cost of
+    * the entire LSH pipeline). */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     when(
       size(toks) >= n,
       array_distinct(
@@ -36,7 +39,13 @@ object Dedup {
         )
       )
     ).otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word-3-gram shingles of a text column (size-n+1 shingles; empty
+    * array for texts shorter than n tokens). Prefer the two-phase
+    * select(split).select(shinglesFromTokens) in hot paths — see
+    * shinglesFromTokens. */
+  def shingles(textCol: String, n: Int = 3): Column =
+    shinglesFromTokens(split(col(textCol), " "), n)
 
   /** Near-duplicate pairs by exact word-3-gram Jaccard >= threshold, with
     * prefix blocking (pairs are only compared when their first `blockChars`
@@ -44,7 +53,12 @@ object Dedup {
     * at scale the blocking key bounds the quadratic pair space per block). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, blockChars: Int = 40): DataFrame = {
     val withBlock = docs
-      .select(col("doc_id"), substring(col("text"), 1, blockChars).as("block"), shingles("text").as("sh"))
+      .select(
+        col("doc_id"),
+        substring(col("text"), 1, blockChars).as("block"),
+        split(col("text"), " ").as("toks")
+      )
+      .select(col("doc_id"), col("block"), shinglesFromTokens(col("toks")).as("sh"))
     val a = withBlock.as("a")
     val b = withBlock.as("b")
     a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
@@ -58,11 +72,22 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent permutations approximated by
-    * xxhash64(shingle, seed_i); signature_i = min over shingles. */
+    * xxhash64(xxhash64(shingle), seed_i); signature_i = min over shingles.
+    *
+    * The variable-length shingle STRING is hashed exactly once; the k
+    * permutations re-hash the resulting 8-byte long, which is ~an order of
+    * magnitude cheaper per permutation (hashing the string k times was the
+    * dominant cost of the whole LSH pipeline). The explode + hash-aggregate
+    * shape is deliberate: partial min combines map-side, so the shuffle
+    * carries one row per (doc, partition), and no per-doc intermediate
+    * arrays are allocated (an array_min(transform(...)) formulation
+    * benchmarked 2x SLOWER from allocation pressure). */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
     val exploded = docs
-      .select(col("doc_id"), explode(shingles("text")).as("shingle"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"mh_$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -112,7 +137,8 @@ object Dedup {
       .distinct()
     val sh = docs
       .join(if (broadcastCandidates) broadcast(candIds) else candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles("text").as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
