@@ -61,24 +61,28 @@ object AnnBench {
       (rows, times.min)
     }
 
-    // index build = one-time ingest cost (nCells cosines per vector),
-    // persisted like any real ANN index; the query path reads it back
+    // index build = one-time ingest cost: the Lloyd-refined codebook (one
+    // assignment pass + quantized cell means) plus the cell assignment
+    // (nCells cosines per vector), persisted like any real ANN index; the
+    // query path reads back BOTH artifacts (codebook as plan literals)
     val indexPath = s"/tmp/graft_ann_index_${n}_$nCells"
-    val (_, indexSec) = time {
-      Similarity.ivfAssign(emb, nCells).write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val (cents, indexSec) = time {
+      val c = Similarity.ivfCentroids(emb, nCells)
+      Similarity.ivfAssign(emb, nCells, Some(c)).write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+      c
     }
     val index = spark.read.parquet(indexPath).select("vec_id", "cell", "v")
 
     val (exactRows, exactSec) = best3(Similarity.bruteForceTopK(emb, nQueries, 10).count())
     val (ivfRows, ivfSec) =
-      best3(Similarity.ivfTopK(emb, nQueries, 10, nCells, nProbe, Some(index)).count())
+      best3(Similarity.ivfTopK(emb, nQueries, 10, nCells, nProbe, Some(index), Some(cents)).count())
 
     // recall: fraction of exact (query, neighbor) pairs the IVF path returns
     val exact = Similarity
       .bruteForceTopK(emb, nQueries, 10)
       .select(col("query_id"), col("neighbor_id"))
     val ivf = Similarity
-      .ivfTopK(emb, nQueries, 10, nCells, nProbe, Some(index))
+      .ivfTopK(emb, nQueries, 10, nCells, nProbe, Some(index), Some(cents))
       .select(col("query_id"), col("neighbor_id"))
     val hit = exact.intersect(ivf).count()
     val recall = hit.toDouble / exactRows

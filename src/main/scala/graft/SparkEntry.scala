@@ -443,13 +443,26 @@ object SparkEntry {
         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 200 AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
-    // full IVF replication in SQL: same centroid normalization (elementwise
+    // full IVF replication in SQL: same deterministic seed, same ONE Lloyd
+    // refinement step (quantized-integer cell means — order-free sums, so
+    // bit-exact across engines), same centroid normalization (elementwise
     // x / sqrt(dot(e,e))), same argmin/probe ranking, same cosine scoring —
-    // every float op is a sequential fold, bit-exact across engines
+    // every float op is a sequential fold
     "sim_ann_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cents AS (SELECT vec_id AS cell, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cn
-        |          FROM v WHERE vec_id < 16),
+        |seed AS (SELECT CAST(vec_id AS INT) AS cell, e FROM v WHERE vec_id < 16),
+        |cn0 AS (SELECT cell, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cn FROM seed),
+        |scored0 AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cn0 c),
+        |assign0 AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored0)
+        |  WHERE rn = 1),
+        |expl AS (SELECT a.cell, unnest(v.e) AS x, unnest(range(len(v.e))) AS pos
+        |         FROM assign0 a JOIN v ON a.vec_id = v.vec_id),
+        |sums AS (SELECT cell, pos, SUM(CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS n
+        |         FROM expl GROUP BY 1, 2),
+        |ref AS (SELECT cell, list((CAST(s AS DOUBLE) / n) / 1048576.0 ORDER BY pos) AS m FROM sums GROUP BY cell),
+        |cents1 AS (SELECT s.cell, COALESCE(r.m, s.e) AS m FROM seed s LEFT JOIN ref r ON s.cell = r.cell),
+        |cents AS (SELECT cell, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS cn FROM cents1),
         |scored AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cents c),
         |assign AS (SELECT vec_id, cell FROM (
         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored)

@@ -29,20 +29,49 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** The IVF centroid codebook (deterministic seeding: centroid c = embedding
-    * of vec_id c, no kmeans iterations needed for a recall-measured index),
-    * collected to the driver. This is a bounded model artifact — nCells rows,
-    * like a trained kmeans codebook or the broadcast gazetteer — and embedding
-    * it as plan literals turns every cell-assignment step into a map-only
-    * whole-stage-codegen projection: no join, no window, no shuffle. */
-  def ivfCentroids(emb: DataFrame, nCells: Int = 16): Seq[(Int, Seq[Double])] =
-    emb
+  /** The IVF centroid codebook, collected to the driver. This is a bounded
+    * model artifact — nCells rows, like a trained kmeans codebook or the
+    * broadcast gazetteer — and embedding it as plan literals turns every
+    * cell-assignment step into a map-only whole-stage-codegen projection:
+    * no join, no window, no shuffle.
+    *
+    * Seeding is deterministic (centroid c = embedding of vec_id c) followed
+    * by `iters` Lloyd refinement steps: assign every corpus vector to its
+    * nearest current centroid (the same argmin-over-literal-codebook
+    * projection the index uses), then move each centroid to the mean of its
+    * cell. The mean is computed in QUANTIZED integer space —
+    * floor(x * 2^20 + 0.5) summed as longs — because a distributed double
+    * sum is ordering-dependent: integer sums are order-free, so the refined
+    * codebook is bit-identical across partitionings AND reproducible by the
+    * DuckDB oracle (the 2^-20 quantization error is irrelevant to a
+    * clustering heuristic). Cells that attract no vectors keep their
+    * previous centroid. */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 1): Seq[(Int, Seq[Double])] = {
+    val seed: Seq[(Int, Seq[Double])] = emb
       .where(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell"), asDouble(col("embedding")).as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .toSeq
+    val q = 1048576.0 // 2^20: x*q is an exact exponent shift in IEEE double
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val refined = emb
+        .select(asDouble(col("embedding")).as("v"))
+        .select(array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("x") * q + 0.5).cast("long")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(
+          array_sort(collect_list(struct(col("pos"), (col("s").cast("double") / col("n") / q).as("m"))))
+            .as("ps"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq))
+        .toMap
+      cents.map { case (cell, c0) => (cell, refined.getOrElse(cell, c0)) }
+    }
+  }
 
   /** Array of (negated score, cell) structs vs every codebook centroid —
     * pure projection over the literal codebook. Centroids are normalized
@@ -84,8 +113,12 @@ object Similarity {
     * projection over the literal codebook (ties toward the lowest cell id,
     * matching the previous max_by(d, -cell) semantics).
     * Returns (vec_id, cell, v). */
-  def ivfAssign(emb: DataFrame, nCells: Int = 16): DataFrame = {
-    val cents = ivfCentroids(emb, nCells)
+  def ivfAssign(
+      emb: DataFrame,
+      nCells: Int = 16,
+      preCents: Option[Seq[(Int, Seq[Double])]] = None
+  ): DataFrame = {
+    val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
     emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(
@@ -114,10 +147,13 @@ object Similarity {
       k: Int = 10,
       nCells: Int = 16,
       nProbe: Int = 4,
-      preAssigned: Option[DataFrame] = None
+      preAssigned: Option[DataFrame] = None,
+      preCents: Option[Seq[(Int, Seq[Double])]] = None
   ): DataFrame = {
-    val cents = ivfCentroids(emb, nCells)
-    val assigned = preAssigned.getOrElse(ivfAssign(emb, nCells))
+    // the codebook is part of the persisted index: pass preCents at query
+    // time or the Lloyd refinement pass (a full corpus scan) re-runs here
+    val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
+    val assigned = preAssigned.getOrElse(ivfAssign(emb, nCells, Some(cents)))
     val probes = emb
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
@@ -140,8 +176,13 @@ object Similarity {
   /** Probe sets: each vector's nProbe nearest codebook cells — a map-only
     * projection (explode of a sliced sorted literal-codebook ranking), no
     * join, no window, no shuffle. */
-  def probeAssign(emb: DataFrame, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(emb, nCells)
+  def probeAssign(
+      emb: DataFrame,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      preCents: Option[Seq[(Int, Seq[Double])]] = None
+  ): DataFrame = {
+    val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
     emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"), explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))

@@ -365,7 +365,7 @@ object KgPipeline {
       spark: SparkSession,
       sfDir: String,
       concepts: Vector[Concept] = defaultConcepts,
-      threshold: Double = 0.45
+      threshold: Double = 0.65 // ~median of the corpus cosine distribution
   ): DataFrame = {
     import spark.implicits._
     val turns = eligibleTurns(Transcripts.read(spark, sfDir))
@@ -379,16 +379,31 @@ object KgPipeline {
       .join(broadcast(clfDim), Seq("concept_id"))
       .select("classifier_id", "conv_id", "turn_idx", "concept_id", "n_mentions")
 
+    // TEXT-DERIVED second pass (C2-shaped): the turn's embedding is its
+    // hashed-token-count histogram — bucket = portable 60-bit md5 token hash
+    // mod dim, +1 smoothing so no vector is zero — scored by sequential-fold
+    // cosine against a fixed concept vector. Counts are small integers
+    // (exact in double), the fold order is the array order in both engines,
+    // so the DuckDB oracle reproduces the probability bit-exactly while the
+    // signal genuinely depends on the text content, not the row identity.
     val dim = 8
-    val docId = col("turn_idx").cast("long") * Transcripts.ConvBuckets +
-      regexp_extract(col("conv_id"), "([0-9]+)$", 1).cast("long")
-    // +i+1 keeps every synthetic vector non-zero (doc 0 would otherwise be
-    // the zero vector and ANSI-fail the cosine's norm division)
-    val e = transform(sequence(lit(0), lit(dim - 1)), i => ((docId * (i + 3) + i + 1) % 101).cast("double") / 101.0)
+    val hvec = transform(
+      split(col("text"), " "),
+      t => (graft.data.Dedup.portableTokenHash(t) % dim).cast("int")
+    )
+    // two-phase projections: hv and e are materialized columns so the
+    // md5-per-token work runs once, not once per downstream reference
+    // (lambda-invariant subexpressions are never hoisted by Catalyst)
+    val e = transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => (size(filter(col("hv"), h => h === i)) + 1).cast("double")
+    )
     val cvec = transform(sequence(lit(0), lit(dim - 1)), i => ((i * 5 + 2) % 101).cast("double") / 101.0)
     val target = concepts.find(_.wikibaseId == "Q15").getOrElse(concepts.head)
     val emb = turns
-      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"), graft.data.Similarity.cosine(e, cvec).as("prob"))
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"), hvec.as("hv"))
+      .select(col("conv_id"), col("turn_idx"), e.as("e"))
+      .select(col("conv_id"), col("turn_idx"), graft.data.Similarity.cosine(col("e"), cvec).as("prob"))
       .where(col("prob") >= threshold)
       .select(
         lit(embeddingClassifierId(target)).as("classifier_id"),

@@ -394,17 +394,22 @@ object OracleGen {
        |kw AS (
        |  SELECT d.classifier_id, p.conv_id, p.turn_idx, p.concept_id, CAST(p.n_mentions AS BIGINT) AS n_mentions
        |  FROM per_turn p JOIN clf_dim d ON p.concept_id = d.concept_id WHERE p.n_mentions > 0),
-       |embp AS (
+       |embh AS (
        |  SELECT source || '.conv.' || CAST(doc_id % ${Transcripts.ConvBuckets} AS VARCHAR) AS conv_id,
        |         CAST(doc_id // ${Transcripts.ConvBuckets} AS INT) AS turn_idx,
-       |         list_transform(range(8), i -> CAST((doc_id * (i + 3) + i + 1) % 101 AS DOUBLE) / 101.0) AS e,
-       |         list_transform(range(8), i -> CAST((i * 5 + 2) % 101 AS DOUBLE) / 101.0) AS c
+       |         list_transform(string_split(text, ' '),
+       |                        tok -> CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 8 AS INT)) AS hv
        |  FROM documents
        |  WHERE lang = 'en' AND CAST(doc_id % 4 AS INT) <> 3 AND length(trim(text)) > 0),
+       |embp AS (
+       |  SELECT conv_id, turn_idx,
+       |         list_transform(range(8), i -> CAST(1 + len(list_filter(hv, h -> h = i)) AS DOUBLE)) AS e,
+       |         list_transform(range(8), i -> CAST((i * 5 + 2) % 101 AS DOUBLE) / 101.0) AS c
+       |  FROM embh),
        |emb AS (
        |  SELECT '$embClf' AS classifier_id, conv_id, turn_idx, 'Q15' AS concept_id, CAST(1 AS BIGINT) AS n_mentions
        |  FROM embp
-       |  WHERE list_dot_product(e, c) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))) >= 0.45),
+       |  WHERE list_dot_product(e, c) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))) >= 0.65),
        |allm AS (SELECT * FROM kw UNION ALL SELECT * FROM emb)
        |SELECT conv_id, turn_idx,
        |  array_to_string(list_sort(list(classifier_id || ':' || concept_id || ':' || CAST(n_mentions AS VARCHAR))), ';') AS models_str,
