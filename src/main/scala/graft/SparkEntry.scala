@@ -341,6 +341,67 @@ object SparkEntry {
         .where(col("rn") <= 5)
         .select("event_id", "event_type", "rn")
     }),
+    // ---- A8/A9: sanitise + passage consolidation ----------------------------
+    // the corpus is pure printable ASCII with no duplicate texts, so both
+    // behaviors are planted deterministically: a '\n'-for-space twin of every
+    // 7th turn sanitises BACK to the base text (same content id -> A8 merges
+    // the two passages), and an '<...>'-wrapped variant of every 11th turn
+    // exercises the XML-special '_' mapping (new id, visibly sanitised). The
+    // engine runs the real JVM Sanitise via the native Catalyst expression;
+    // the oracle re-derives it with nested SQL replace() (exact for the ASCII
+    // subset present; full unicode fidelity is locked by CoreSpec
+    // differential vectors).
+    "kg_consolidate" -> ((s, dir) => {
+      import graft.extract.SanitiseText.sanitise
+      val turns = KgPipeline
+        .eligibleTurns(Transcripts.read(s, dir))
+        .select("conv_id", "turn_idx", "text")
+      val spanT = "array<struct<start:int,end:int,concept_id:string>>"
+      val spans = mentions(s, dir)
+        .groupBy("conv_id", "turn_idx")
+        .agg(collect_list(struct(col("start"), col("end"), col("concept_id"))).as("spans"))
+      val base = turns
+        .join(spans, Seq("conv_id", "turn_idx"), "left")
+        .select(col("text"), coalesce(col("spans"), array().cast(spanT)).as("spans"))
+      // the twin carries ONE planted span so the consolidation genuinely
+      // merges two non-empty span sets (not a union with empty)
+      val dup = turns
+        .where(col("turn_idx") % 7 === 0)
+        .select(
+          translate(col("text"), " ", "\n").as("text"),
+          array(struct(lit(0).as("start"), lit(4).as("end"), lit("QDUP").as("concept_id")))
+            .cast(spanT)
+            .as("spans")
+        )
+      val marked = turns
+        .where(col("turn_idx") % 11 === 3)
+        .select(concat(lit("<"), col("text"), lit(">")).as("text"), array().cast(spanT).as("spans"))
+      val passages = base
+        .unionByName(dup)
+        .unionByName(marked)
+        .select(sanitise(col("text")).as("text"), col("spans"))
+        .withColumn("id", md5(col("text")))
+        .withColumn("metadata", map(lit("n_chars"), length(col("text")).cast("string")))
+      KgPipeline
+        .consolidatePassages(passages)
+        .select(
+          col("id"),
+          length(col("text")).cast("int").as("n_chars"),
+          concat_ws(
+            ";",
+            transform(
+              sort_array(col("spans")),
+              sp =>
+                concat_ws(
+                  ":",
+                  sp.getField("start").cast("string"),
+                  sp.getField("end").cast("string"),
+                  sp.getField("concept_id"))
+            )
+          ).as("spans_str"),
+          size(col("spans")).as("n_spans")
+        )
+    }),
     // ---- eval harness (G6): span-level P/R confusion sweep ------------------
     // gold = the executed-reference fixture spans; predicted = the ENGINE
     // classifier's mentions run through a deterministic perturbation (drop a
@@ -393,6 +454,7 @@ object SparkEntry {
     "kg_turns_ordered" -> OracleGen.turnsOrderedSql,
     "kg_mentions" -> OracleGen.mentionsSql,
     "eval_pr" -> OracleGen.evalPrSql,
+    "kg_consolidate" -> OracleGen.consolidateSql,
     "kg_passage_concepts" -> OracleGen.passageConceptsSql,
     "kg_spans_v2" -> OracleGen.spansV2Sql,
     "kg_linked_surfaces" -> OracleGen.linkedSurfacesSql,

@@ -79,11 +79,15 @@ object Checkpoint {
       .parquet(dataPath(dir))
 
     // lineage: one row per processed bucket, written AFTER the data commit so
-    // a bucket is only marked ok once its output is durable.
-    val written = spark.read.parquet(dataPath(dir))
-    val processedNow = todo.select("bucket").distinct()
+    // a bucket is only marked ok once its output is durable. The read-back is
+    // partition-PRUNED to the literal set of buckets processed this run (<=
+    // nBuckets ints on the driver) — a resume run re-reads only its own
+    // increment, never the accumulated output of every earlier run.
+    val ids = todo.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    val written = spark.read
+      .parquet(dataPath(dir))
+      .where(col("bucket").isin(ids.toSeq: _*))
     val lineage = written
-      .join(processedNow, Seq("bucket"), "left_semi")
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -94,8 +98,7 @@ object Checkpoint {
       .withColumn("run_id", lit(runId))
       .withColumn("status", lit("ok"))
 
-    val n = processedNow.count().toInt
     lineage.write.mode(SaveMode.Append).parquet(lineagePath(dir))
-    n
+    ids.length
   }
 }

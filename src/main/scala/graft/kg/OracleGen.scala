@@ -250,6 +250,46 @@ object OracleGen {
        |  array_to_string(list_sort(list(DISTINCT concept_id)), ',') AS concepts_v2_str
        |FROM ref_mentions GROUP BY conv_id, turn_idx, start, "end"""".stripMargin
 
+  /** SQL twin of graft.core.Sanitise for the ASCII subset present in the
+    * corpus + planted variants (XML specials -> '_', \n and \t -> ' ').
+    * Replace order matches the JVM single-pass switch; no produced char
+    * ('_', ' ') is an input of a later replace, so the chain is equivalent.
+    * Full unicode pass-2 fidelity (ellipsis, curly quotes, em-dash) is
+    * locked by CoreSpec differential vectors instead. */
+  private def sanSql(x: String): String =
+    s"replace(replace(replace(replace(replace(replace(replace($x, '&', '_'), '<', '_'), '>', '_'), " +
+      s"'${"\""}', '_'), chr(39), '_'), chr(10), ' '), chr(9), ' ')"
+
+  /** A8/A9 oracle: sanitise + content-id passage consolidation. Mirrors the
+    * engine's planting (a '\n'-for-space twin of every 7th turn that
+    * sanitises back to the base text, an '<...>'-wrapped variant of every
+    * 11th turn) and re-derives the merged span multiset per content id. */
+  val consolidateSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |base AS (SELECT conv_id, turn_idx, 'b' AS kind, ${sanSql("text")} AS stext FROM turns),
+       |dup AS (SELECT conv_id, turn_idx, 'd' AS kind, ${sanSql("replace(text, ' ', chr(10))")} AS stext
+       |        FROM turns WHERE turn_idx % 7 = 0),
+       |mark AS (SELECT conv_id, turn_idx, 'm' AS kind, ${sanSql("'<' || text || '>'")} AS stext
+       |         FROM turns WHERE turn_idx % 11 = 3),
+       |passages AS (SELECT * FROM base UNION ALL SELECT * FROM dup UNION ALL SELECT * FROM mark),
+       |pass_spans AS (
+       |  SELECT p.stext, m.start, m."end", m.concept_id
+       |  FROM passages p JOIN ref_mentions m ON p.kind = 'b' AND p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+       |  UNION ALL
+       |  SELECT stext, 0 AS start, 4 AS "end", 'QDUP' AS concept_id FROM passages WHERE kind = 'd'),
+       |ids AS (SELECT DISTINCT md5(stext) AS id, stext FROM passages),
+       |agg AS (SELECT md5(stext) AS id,
+       |               array_to_string(list(CAST(start AS VARCHAR) || ':' || CAST("end" AS VARCHAR) || ':' || concept_id
+       |                                    ORDER BY start, "end", concept_id), ';') AS spans_str,
+       |               CAST(COUNT(*) AS INT) AS n_spans
+       |        FROM pass_spans GROUP BY 1)
+       |SELECT i.id, CAST(length(i.stext) AS INT) AS n_chars,
+       |       COALESCE(a.spans_str, '') AS spans_str,
+       |       COALESCE(a.n_spans, 0) AS n_spans
+       |FROM ids i LEFT JOIN agg a USING (id)""".stripMargin
+
   /** G6 eval harness oracle: span-level confusion counts at jaccard
     * thresholds {0, .5, .9, .99} (metrics.py:98-142 semantics). Gold = the
     * executed-reference fixture spans; predicted = the same spans under the
