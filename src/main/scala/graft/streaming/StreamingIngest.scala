@@ -7,19 +7,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.core.Concept
 import graft.extract.Gazetteer
 
-/** One extracted edge event flowing through the stateful stream. */
-final case class EdgeEvent(conv_id: String, turn_idx: Int, concept_id: String, ts: java.sql.Timestamp)
+/** One extracted TURN event flowing through the stateful stream: concepts
+  * travel as an array of ORDINALS (indices into the gazetteer's concept
+  * vector) packed per turn — one shuffled/decoded row per turn rather than
+  * one per (turn, concept), and no strings besides the grouping key; the
+  * concept-id string is reattached only at emission. */
+final case class EdgeEvent(conv_id: String, turn_idx: Int, ords: Array[Int], ts: java.sql.Timestamp)
 
 /** Emitted triple row. */
 final case class TripleEdge(subj: String, pred: String, obj: String)
 
-/** Per-conversation dedup state: the (turn_idx, concept) keys already
-  * emitted plus the max event time seen (the timeout anchor). A Set[String]
-  * is the clear-and-correct shape at per-conversation cardinality
-  * (turns x concepts); a 10^12-turn deployment would swap in a roaring
-  * bitmap over (turn_seq, concept_ordinal) without changing the operator
-  * contract. */
-final case class SeenEdges(keys: Set[String], maxTsMs: Long)
+/** Per-conversation dedup state, primitive-keyed: each already-emitted
+  * (turn_idx, concept) edge packs into one long
+  * (turn_idx * nConcepts + ordinal), kept SORTED so membership is a binary
+  * search and the encoder round-trip is a primitive-array copy. The earlier
+  * Set[String] shape spent the bulk of each micro-batch re-encoding string
+  * keys through the state store; a long[] encodes/decodes as flat bytes. */
+final case class SeenEdges(keys: Array[Long], maxTsMs: Long)
 
 /** Streaming ingest mode (optional — the reference is batch-only, SURVEY.md
   * §2.9; its incremental behavior is the checkpoint anti-join). When
@@ -71,13 +75,15 @@ object StreamingIngest {
   ): Dataset[TripleEdge] = {
     import spark.implicits._
     val gaz = new Gazetteer(concepts)
+    val nC = concepts.length
+    val conceptIds = concepts.map(_.wikibaseId).toArray
     val events = transcripts
       .where(col("role") =!= "tool" && length(trim(col("text"))) > 0)
       .withWatermark("ts", watermarkDelay)
       .select(
         col("conv_id"),
         col("turn_idx").cast("int").as("turn_idx"),
-        explode(graft.extract.expressions.extractConceptsPresent(col("text"), gaz)).as("concept_id"),
+        graft.extract.expressions.extractOrdinalsPresent(col("text"), gaz).as("ords"),
         col("ts")
       )
       .as[EdgeEvent]
@@ -90,19 +96,37 @@ object StreamingIngest {
             state.remove()
             Iterator.empty
           } else {
-            val prior = state.getOption.getOrElse(SeenEdges(Set.empty, 0L))
-            var seen = prior.keys
+            val prior = state.getOption.getOrElse(SeenEdges(Array.emptyLongArray, 0L))
+            val priorKeys = prior.keys // sorted
             var maxTs = prior.maxTsMs
+            val newKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newSet = scala.collection.mutable.HashSet.empty[Long]
             val fresh = Vector.newBuilder[TripleEdge]
             batch.foreach { e =>
-              val key = s"${e.turn_idx}:${e.concept_id}"
               if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
-              if (!seen.contains(key)) {
-                seen += key
-                fresh += TripleEdge(s"${convId}_${e.turn_idx}", "MENTIONS_CONCEPT", e.concept_id)
+              val base = e.turn_idx.toLong * nC
+              var i = 0
+              while (i < e.ords.length) {
+                val ord = e.ords(i)
+                val key = base + ord
+                if (java.util.Arrays.binarySearch(priorKeys, key) < 0 && newSet.add(key)) {
+                  newKeys += key
+                  fresh += TripleEdge(s"${convId}_${e.turn_idx}", "MENTIONS_CONCEPT", conceptIds(ord))
+                }
+                i += 1
               }
             }
-            state.update(SeenEdges(seen, maxTs))
+            val merged =
+              if (newKeys.isEmpty) priorKeys
+              else {
+                val m = new Array[Long](priorKeys.length + newKeys.length)
+                System.arraycopy(priorKeys, 0, m, 0, priorKeys.length)
+                var i = 0
+                while (i < newKeys.length) { m(priorKeys.length + i) = newKeys(i); i += 1 }
+                java.util.Arrays.sort(m)
+                m
+              }
+            state.update(SeenEdges(merged, maxTs))
             // anchor the timeout on the conversation's own event time, not the
             // (first-batch-zero) watermark; floor it above the watermark or
             // Spark rejects the timestamp for already-stale conversations
