@@ -61,6 +61,44 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
         KeywordMatcher.compile(KeywordMatcher.alternation(ci), caseSensitive = false)
       }
     }
+  // ---- case-sensitive prefilter ---------------------------------------------
+  // separatorFlexible only relaxes the SEPARATORS of a label, so any regex
+  // match must contain each word-char run of the label verbatim. The longest
+  // run is therefore a literal anchor: if no cs label's anchor occurs in the
+  // text (one indexOf each, ~100ns), the cs regex (a full scan, ~µs) cannot
+  // match and is skipped. Labels with no word chars get no anchor and force
+  // the regex unconditionally (csAnchorsExact false).
+  private def longestWordRun(label: String): String = {
+    var best = ""
+    var i = 0
+    val n = label.length
+    while (i < n) {
+      if (!Character.isLowSurrogate(label.charAt(i)) && isWordCp(label.codePointAt(i))) {
+        var j = i
+        while (j < n && isWordCp(label.codePointAt(j))) j += Character.charCount(label.codePointAt(j))
+        if (j - i > best.length) best = label.substring(i, j)
+        i = j
+      } else i += 1
+    }
+    best
+  }
+  private val csAnchors: Array[Array[String]] = concepts.toArray.map { c =>
+    val (cs, _) = KeywordMatcher.splitByCaseHandling(c.allLabels)
+    cs.map(longestWordRun).toArray
+  }
+  private val csAnchorsExact: Array[Boolean] = csAnchors.map(_.forall(_.nonEmpty))
+  /** false only when NO cs label can possibly match `text`. */
+  private def csPossible(ci: Int, text: String): Boolean = {
+    if (!csAnchorsExact(ci)) return csAnchors(ci).nonEmpty
+    val anchors = csAnchors(ci)
+    var i = 0
+    while (i < anchors.length) {
+      if (text.contains(anchors(i))) return true
+      i += 1
+    }
+    false
+  }
+
   @transient private lazy val negPatterns: Array[(java.util.regex.Pattern, java.util.regex.Pattern)] =
     concepts.toArray.map { c =>
       val (cs, ci) = KeywordMatcher.splitByCaseHandling(c.negativeLabels)
@@ -183,7 +221,7 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
     while (ci < concepts.length) {
       val m = matchers(ci)
       // case-sensitive matches first (reference extends cs then ci)
-      val csSpans = matchWith(text, csPatterns(ci), m)
+      val csSpans = if (csPossible(ci, text)) matchWith(text, csPatterns(ci), m) else Vector.empty
       val ciSpans =
         if (trieViaIndex(ci)) emulateFinditer(hits(ci), m)
         else matchWith(text, ciFallbackPatterns(ci), m)
@@ -232,7 +270,7 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
         if (hasNegatives(ci) || !trieViaIndex(ci)) {
           // exact span path for the hard cases
           val m = matchers(ci)
-          val csSpans = matchWith(text, csPatterns(ci), m)
+          val csSpans = if (csPossible(ci, text)) matchWith(text, csPatterns(ci), m) else Vector.empty
           val ciSpans =
             if (trieViaIndex(ci)) emulateFinditer(hits(ci), m)
             else matchWith(text, ciFallbackPatterns(ci), m)
@@ -245,7 +283,7 @@ final class Gazetteer(val concepts: Vector[Concept]) extends Serializable {
           }
         } else if (hasCs(ci)) {
           // no negatives: any case-sensitive hit is enough
-          val p = csPatterns(ci)
+          val p = if (csPossible(ci, text)) csPatterns(ci) else null
           if (p != null) {
             val mt = p.matcher(text)
             var found = false
