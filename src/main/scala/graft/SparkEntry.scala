@@ -341,6 +341,15 @@ object SparkEntry {
         .where(col("rn") <= 5)
         .select("event_id", "event_type", "rn")
     }),
+    // ---- S10 dynamism: concept-store swap drill ------------------------------
+    // the same pipeline + oracle machinery rebuilt from swappedConcepts (a
+    // wikibase-style update batch: Q90 added, Q17 deleted, Q80 redirected
+    // onto Q70). Engine gazetteer/trie, linking edges, hierarchy AND the
+    // DuckDB SQL are all co-derived from the swapped vector — green rows
+    // prove the store is genuinely a runtime input, not baked-in constants.
+    "swap_mention_counts" -> ((s, dir) =>
+      KgPipeline.mentionCounts(KgPipeline.mentions(s, dir, DemoConceptStore.swappedConcepts).toDF())),
+    "swap_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s, DemoConceptStore.swappedConcepts)),
     // ---- A8/A9: sanitise + passage consolidation ----------------------------
     // the corpus is pure printable ASCII with no duplicate texts, so both
     // behaviors are planted deterministically: a '\n'-for-space twin of every
@@ -460,6 +469,8 @@ object SparkEntry {
     "kg_linked_surfaces" -> OracleGen.linkedSurfacesSql,
     "kg_canonical_mentions" -> OracleGen.canonicalMentionsSql,
     "kg_mention_counts" -> OracleGen.mentionCountsSql,
+    "swap_mention_counts" -> OracleGen.mentionCountsSqlFor(DemoConceptStore.swappedConcepts),
+    "swap_canonical" -> OracleGen.canonicalSqlFor(DemoConceptStore.swappedConcepts),
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
     "kg_concept_counts" -> OracleGen.conceptCountsSql,
     "kg_concept_counts_map" -> OracleGen.conceptCountsMapSql,

@@ -56,16 +56,50 @@ object DemoConceptStore {
     * matching /root/reference/flows/update_neo4j.py:436-450: SUBCONCEPT_OF
     * child->parent (has_subconcept also emitted child->parent, i.e. reversed)
     * and RELATED_TO as stated. */
-  def conceptEdges: Vector[(String, String, String)] = {
-    val sub = concepts.flatMap(c => c.subconceptOf.map(p => (c.wikibaseId, "SUBCONCEPT_OF", p)))
-    val subRev = concepts.flatMap(c => c.hasSubconcept.map(ch => (ch, "SUBCONCEPT_OF", c.wikibaseId)))
-    val rel = concepts.flatMap(c => c.relatedConcepts.map(r => (c.wikibaseId, "RELATED_TO", r)))
+  def conceptEdges: Vector[(String, String, String)] = conceptEdgesOf(concepts)
+
+  def conceptEdgesOf(cs: Vector[Concept]): Vector[(String, String, String)] = {
+    val sub = cs.flatMap(c => c.subconceptOf.map(p => (c.wikibaseId, "SUBCONCEPT_OF", p)))
+    val subRev = cs.flatMap(c => c.hasSubconcept.map(ch => (ch, "SUBCONCEPT_OF", c.wikibaseId)))
+    val rel = cs.flatMap(c => c.relatedConcepts.map(r => (c.wikibaseId, "RELATED_TO", r)))
     (sub ++ subRev ++ rel).distinct
   }
 
   /** Entity-linking dictionary edges: every label surface links to its
     * concept (the broadcast-dictionary scoring step of J7; reference analog
     * /root/reference/scripts/wikidata_linker.py:55-98 searches labels). */
-  def surfaceEdges: Vector[(String, String)] =
-    concepts.flatMap(c => c.allLabels.map(l => ("surface:" + l.toLowerCase, c.wikibaseId))).distinct
+  def surfaceEdges: Vector[(String, String)] = surfaceEdgesOf(concepts)
+
+  def surfaceEdgesOf(cs: Vector[Concept]): Vector[(String, String)] =
+    cs.flatMap(c => c.allLabels.map(l => ("surface:" + l.toLowerCase, c.wikibaseId))).distinct
+
+  /** The store after a wikibase-style update batch (S10 dynamism — the
+    * reference's concept store changes between runs via add / delete /
+    * redirect, wikibase.py:213-271). Relative to `concepts`:
+    *  - ADDED:      Q90 "filter" (new concept over existing corpus vocab)
+    *  - DELETED:    Q17 "vector"
+    *  - REDIRECTED: Q80 -> Q70 (Q80's id retires; its labels resolve onto
+    *                the redirect target, so "row storage"/"row" now mention
+    *                Q70 — the observable effect of following a redirect)
+    * Everything downstream (gazetteer, oracle SQL, linking dictionary,
+    * hierarchy edges) is REBUILT from this vector by the same co-derivation
+    * machinery as the default store; nothing is hand-adjusted. */
+  val swappedConcepts: Vector[Concept] = {
+    val q80 = byId("Q80")
+    concepts.flatMap {
+      case c if c.wikibaseId == "Q17" || c.wikibaseId == "Q80" => None
+      case c if c.wikibaseId == "Q70" =>
+        Some(
+          Concept.normalized(
+            "Q70",
+            c.preferredLabel,
+            alternativeLabels = c.alternativeLabels ++ q80.allLabels,
+            negativeLabels = c.negativeLabels,
+            subconceptOf = c.subconceptOf,
+            hasSubconcept = c.hasSubconcept,
+            relatedConcepts = c.relatedConcepts
+          ))
+      case c => Some(c)
+    } :+ Concept.normalized("Q90", "filter", subconceptOf = Seq("Q50"))
+  }
 }

@@ -195,7 +195,8 @@ object KgPipeline {
         Seq(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj")) ++ convCols: _*
       )
     val ids = concepts.map(_.wikibaseId).toSet
-    val conceptEdges = DemoConceptStore.conceptEdges
+    val conceptEdges = DemoConceptStore
+      .conceptEdgesOf(concepts)
       .filter { case (s, _, o) => ids(s) && ids(o) }
       .toDF("subj", "pred", "obj")
       .select(Seq(col("subj"), col("pred"), col("obj")) ++ dimCols: _*)
@@ -266,7 +267,8 @@ object KgPipeline {
       .select(col("conv_id"), col("turn_idx"), col("concept_id"))
       .distinct()
       .select(passageId.as("subj"), lit("MENTIONS_CONCEPT").as("pred"), col("concept_id").as("obj"))
-    val conceptEdges = DemoConceptStore.conceptEdges
+    val conceptEdges = DemoConceptStore
+      .conceptEdgesOf(concepts)
       .filter { case (s, _, o) =>
         val ids = concepts.map(_.wikibaseId).toSet; ids(s) && ids(o)
       }
@@ -455,10 +457,11 @@ object KgPipeline {
   def canonicalEntities(spark: SparkSession, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
     import spark.implicits._
     val ids = concepts.map(_.wikibaseId).toSet
-    val conceptPairs = DemoConceptStore.conceptEdges
+    val conceptPairs = DemoConceptStore
+      .conceptEdgesOf(concepts)
       .filter { case (s, _, o) => ids(s) && ids(o) }
       .map { case (s, _, o) => (s, o) }
-    val surfacePairs = DemoConceptStore.surfaceEdges.filter { case (_, c) => ids(c) }
+    val surfacePairs = DemoConceptStore.surfaceEdgesOf(concepts).filter { case (_, c) => ids(c) }
     val edges = (conceptPairs ++ surfacePairs).toDF("src", "dst")
     ConnectedComponents.run(spark, edges)
   }

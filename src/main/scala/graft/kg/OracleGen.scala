@@ -62,21 +62,23 @@ object OracleGen {
 
   /** Per-(conv, turn, concept) mention counts > 0, as a union of one SELECT
     * per concept (generated — each concept gets its own regex). */
-  def perTurnCountsSql: String =
-    concepts
-      .map { c =>
-        s"""SELECT conv_id, turn_idx, '${c.wikibaseId}' AS concept_id, ${mentionCountExpr(c)} AS n_mentions FROM turns"""
-      }
-      .mkString("\nUNION ALL\n")
+  def perTurnCountsSqlFor(cs: Vector[Concept]): String =
+    cs.map { c =>
+      s"""SELECT conv_id, turn_idx, '${c.wikibaseId}' AS concept_id, ${mentionCountExpr(c)} AS n_mentions FROM turns"""
+    }.mkString("\nUNION ALL\n")
 
-  val mentionCountsSql: String =
+  def perTurnCountsSql: String = perTurnCountsSqlFor(concepts)
+
+  def mentionCountsSqlFor(cs: Vector[Concept]): String =
     s"""WITH $transcriptsCte,
        |$turnsCte,
        |per_turn AS (
-       |${perTurnCountsSql}
+       |${perTurnCountsSqlFor(cs)}
        |)
        |SELECT conv_id, concept_id, CAST(SUM(n_mentions) AS BIGINT) AS n_mentions
        |FROM per_turn WHERE n_mentions > 0 GROUP BY conv_id, concept_id""".stripMargin
+
+  val mentionCountsSql: String = mentionCountsSqlFor(concepts)
 
   val vespaConceptsSql: String = {
     val dims = concepts
@@ -158,19 +160,19 @@ object OracleGen {
        |GROUP BY 1, 2""".stripMargin
 
   /** Component-edge VALUES list shared by the canonical oracles. */
-  private def componentEdgeValues: String = {
-    val ids = concepts.map(_.wikibaseId).toSet
+  private def componentEdgeValuesFor(cs: Vector[Concept]): String = {
+    val ids = cs.map(_.wikibaseId).toSet
     val pairs =
-      DemoConceptStore.conceptEdges.collect { case (s, _, o) if ids(s) && ids(o) => (s, o) } ++
-        DemoConceptStore.surfaceEdges.filter { case (_, c) => ids(c) }
+      DemoConceptStore.conceptEdgesOf(cs).collect { case (s, _, o) if ids(s) && ids(o) => (s, o) } ++
+        DemoConceptStore.surfaceEdgesOf(cs).filter { case (_, c) => ids(c) }
     pairs.map { case (s, d) => s"('${sq(s)}', '${sq(d)}')" }.mkString(", ")
   }
 
   /** Recursive-CTE member list computing (node, component) — min-reachable-id
     * connected components, the independent cross-check of the engine's
     * star-contraction CC. Use inside a WITH RECURSIVE prologue. */
-  private def componentCtes: String =
-    s"""e(src, dst) AS (SELECT * FROM (VALUES $componentEdgeValues)),
+  private def componentCtesFor(cs: Vector[Concept]): String =
+    s"""e(src, dst) AS (SELECT * FROM (VALUES ${componentEdgeValuesFor(cs)})),
        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |nodes AS (SELECT DISTINCT src AS node FROM und),
        |reach(node, r) AS (
@@ -179,9 +181,13 @@ object OracleGen {
        |  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r),
        |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
 
-  val canonicalSql: String =
-    s"""WITH RECURSIVE $componentCtes
+  private def componentCtes: String = componentCtesFor(concepts)
+
+  def canonicalSqlFor(cs: Vector[Concept]): String =
+    s"""WITH RECURSIVE ${componentCtesFor(cs)}
        |SELECT node, component FROM comp""".stripMargin
+
+  val canonicalSql: String = canonicalSqlFor(concepts)
 
   // ---- executed-reference span-grain oracles --------------------------------
   //

@@ -192,4 +192,33 @@ class PipelineSpec extends AnyFunSuite {
     val med = sizes.agg(expr("percentile_approx(count, 0.5)")).collect()(0).getLong(0)
     assert(top > 5 * med, s"expected skewed conversations, top=$top median=$med")
   }
+
+  test("concept-store swap drill: add/delete/redirect rebuild the whole surface (S10)") {
+    import graft.kg.DemoConceptStore
+    val swapped = DemoConceptStore.swappedConcepts
+    val ids = swapped.map(_.wikibaseId).toSet
+    assert(ids.contains("Q90") && !ids.contains("Q17") && !ids.contains("Q80"))
+
+    // extraction rebuilt from the swapped store: the added concept fires,
+    // the deleted one cannot, and the redirected surface lands on the target
+    val m = KgPipeline.mentions(spark, dir, swapped).toDF().cache()
+    val byConcept = m.groupBy("concept_id").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byConcept.getOrElse("Q90", 0L) > 0, "added concept Q90 (filter) must produce mentions")
+    assert(!byConcept.contains("Q17"), "deleted concept Q17 must produce none")
+    assert(!byConcept.contains("Q80"), "retired id Q80 must produce none")
+    val rowSurfaces = m.where(lower(col("surface")) === "row").select("concept_id").distinct().collect().map(_.getString(0)).toSet
+    assert(rowSurfaces == Set("Q70"), s"redirected surface 'row' must mention the redirect target, got $rowSurfaces")
+
+    // canonicalization rebuilt from the swapped store: surface:row joins
+    // Q70's component; Q17/Q80 vanish from the graph
+    val comp = KgPipeline.canonicalEntities(spark, swapped).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp.contains("surface:filter") && comp("surface:filter") == comp("Q90"))
+    assert(comp("surface:row") == comp("Q70"))
+    assert(!comp.contains("Q17") && !comp.contains("Q80"))
+
+    // the default store is untouched by the swap (no shared mutable state)
+    val defaultIds = KgPipeline.mentions(spark, dir).toDF().select("concept_id").distinct().collect().map(_.getString(0)).toSet
+    assert(defaultIds.contains("Q17") && !defaultIds.contains("Q90"))
+    m.unpersist()
+  }
 }
