@@ -42,17 +42,24 @@ object StreamBench {
     // SPARK_GRAFT_ROCKSDB=1: the production state-store backend (bounded
     // executor memory at 10^9-conversation state; rocksdbjni ships with
     // Spark) — the operator code is identical, only this conf changes
-    val rocksdb = sys.env.getOrElse("SPARK_GRAFT_ROCKSDB", "0") == "1"
+    // SPARK_GRAFT_TWS=1: the transformWithState operator (MapState point
+    // lookups instead of whole-value state rows) — requires RocksDB
+    val tws = sys.env.getOrElse("SPARK_GRAFT_TWS", "0") == "1"
+    val rocksdb = tws || sys.env.getOrElse("SPARK_GRAFT_ROCKSDB", "0") == "1"
     if (rocksdb)
       spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       )
 
-    val inputPath = s"/tmp/graft_stream_bench_$nTurns"
+    // turns per conversation sizes the per-key accumulated state — the lever
+    // that decides flatMapGroupsWithState (whole-value) vs transformWithState
+    // (point-lookup) economics
+    val turnsPerConv = sys.env.getOrElse("SPARK_GRAFT_TURNS_PER_CONV", "200").toLong
+    val inputPath = s"/tmp/graft_stream_bench_${nTurns}_tpc$turnsPerConv"
     if (!Bench.parquetComplete(inputPath)) {
       Transcripts
-        .synthesize(spark, nTurns, nConvs = nTurns / 200)
+        .synthesize(spark, nTurns, nConvs = nTurns / turnsPerConv)
         .repartition(128)
         .write
         .mode("overwrite")
@@ -85,12 +92,10 @@ object StreamBench {
     locally {
       val warmCkpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_stream_warm").toString
       val warmStream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(inputPath)
-      val warmEdges = StreamingIngest.incrementalMentionEdges(
-        spark,
-        warmStream.limit(200000),
-        KgPipeline.defaultConcepts,
-        watermarkDelay = "30 days"
-      )
+      val op: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame, Vector[graft.core.Concept], String) => org.apache.spark.sql.Dataset[graft.streaming.TripleEdge] =
+        if (tws) StreamingIngest.incrementalMentionEdgesTws(_, _, _, _)
+        else StreamingIngest.incrementalMentionEdges(_, _, _, _)
+      val warmEdges = op(spark, warmStream.limit(200000), KgPipeline.defaultConcepts, "30 days")
       val wq = warmEdges.writeStream
         .format("noop")
         .outputMode(OutputMode.Append)
@@ -106,12 +111,10 @@ object StreamBench {
     // a short delay would silently drop most rows as late before they ever
     // reach the state store, and the bench would measure the filter, not
     // the stateful operator
-    val edges = StreamingIngest.incrementalMentionEdges(
-      spark,
-      stream,
-      KgPipeline.defaultConcepts,
-      watermarkDelay = "30 days"
-    )
+    val edges =
+      if (tws)
+        StreamingIngest.incrementalMentionEdgesTws(spark, stream, KgPipeline.defaultConcepts, "30 days")
+      else StreamingIngest.incrementalMentionEdges(spark, stream, KgPipeline.defaultConcepts, "30 days")
     val query = edges.writeStream
       .format("noop")
       .outputMode(OutputMode.Append)
@@ -129,7 +132,7 @@ object StreamBench {
     if (sys.env.getOrElse("SPARK_GRAFT_STREAM_DEBUG", "0") == "1")
       progress.foreach(p => println(s"[stream-progress] ${p.json}"))
     val json =
-      f"""{"metric":"stream_turns_per_sec","turns":$nTurns,"input_rows":$inputRows,"batches":$batches,"sec":$sec%.3f,"turns_per_sec":${inputRows / sec}%.1f,"files_per_trigger":$filesPerTrigger,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}"}"""
+      f"""{"metric":"stream_turns_per_sec","turns":$nTurns,"input_rows":$inputRows,"batches":$batches,"sec":$sec%.3f,"turns_per_sec":${inputRows / sec}%.1f,"files_per_trigger":$filesPerTrigger,"state_store":"${if (rocksdb) "rocksdb" else "hdfs"}","operator":"${if (tws) "transformWithState" else "flatMapGroupsWithState"}","turns_per_conv":$turnsPerConv}"""
     println(json)
     spark.stop()
   }

@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo,
+  GroupState,
+  GroupStateTimeout,
+  MapState,
+  OutputMode,
+  StatefulProcessor,
+  TimeMode,
+  TimerValues,
+  TTLConfig,
+  ValueState
+}
 
 import graft.core.Concept
 import graft.extract.Gazetteer
@@ -135,6 +146,100 @@ object StreamingIngest {
             )
             fresh.result().iterator
           }
+      )
+  }
+
+  /** transformWithState (Spark 4.1) twin of incrementalMentionEdges: the
+    * per-conversation dedup set lives in a MapState keyed by the packed
+    * (turn, concept) long, so a micro-batch reads and writes ONLY the keys
+    * it touches — point lookups against the (RocksDB-required) state store —
+    * instead of round-tripping the conversation's whole accumulated state
+    * per batch like flatMapGroupsWithState's single value row. That is the
+    * at-scale difference: a conversation with 10^6 accumulated edges costs
+    * each batch O(batch keys), not O(state size). Cleanup via an event-time
+    * timer re-anchored on the conversation's max event time (the previous
+    * timer is deleted first so exactly one is live per key). */
+  class EdgeDedupProcessor(nConcepts: Int, conceptIds: Array[String], stateRetentionMs: Long)
+      extends StatefulProcessor[String, EdgeEvent, TripleEdge] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var maxTs: ValueState[Long] = _
+    @transient private var timer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      maxTs = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong, TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[EdgeEvent],
+        timerValues: TimerValues
+    ): Iterator[TripleEdge] = {
+      var mx = if (maxTs.exists()) maxTs.get() else 0L
+      val fresh = Vector.newBuilder[TripleEdge]
+      rows.foreach { e =>
+        if (e.ts.getTime > mx) mx = e.ts.getTime
+        val base = e.turn_idx.toLong * nConcepts
+        var i = 0
+        while (i < e.ords.length) {
+          val k = base + e.ords(i)
+          if (!seen.containsKey(k)) {
+            seen.updateValue(k, true)
+            fresh += TripleEdge(s"${key}_${e.turn_idx}", "MENTIONS_CONCEPT", conceptIds(e.ords(i)))
+          }
+          i += 1
+        }
+      }
+      maxTs.update(mx)
+      val next = math.max(mx + stateRetentionMs, timerValues.getCurrentWatermarkInMs() + 1000L)
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      getHandle.registerTimer(next)
+      timer.update(next)
+      fresh.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[TripleEdge] = {
+      seen.clear()
+      maxTs.clear()
+      timer.clear()
+      Iterator.empty
+    }
+  }
+
+  /** incrementalMentionEdges on the transformWithState API — identical
+    * contract (exactly-once edge emission under at-least-once replays,
+    * event-time state expiry); requires the RocksDB state-store provider. */
+  def incrementalMentionEdgesTws(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      concepts: Vector[Concept],
+      watermarkDelay: String = "2 minutes",
+      stateRetentionMs: Long = 10 * 60 * 1000L
+  ): Dataset[TripleEdge] = {
+    import spark.implicits._
+    val gaz = new Gazetteer(concepts)
+    val conceptIds = concepts.map(_.wikibaseId).toArray
+    val events = transcripts
+      .where(col("role") =!= "tool" && length(trim(col("text"))) > 0)
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        graft.extract.expressions.extractOrdinalsPresent(col("text"), gaz).as("ords"),
+        col("ts")
+      )
+      .as[EdgeEvent]
+    events
+      .groupByKey(_.conv_id)
+      .transformWithState(
+        new EdgeDedupProcessor(concepts.length, conceptIds, stateRetentionMs),
+        TimeMode.EventTime(),
+        OutputMode.Append()
       )
   }
 

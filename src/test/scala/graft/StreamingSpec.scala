@@ -156,4 +156,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2.toSet == got.toSet + (("s3_0", "Q16")), s"got $got2")
     } finally query.stop()
   }
+
+  test("transformWithState incremental edges: MapState point-lookup dedup (Spark 4.1 TWS)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // TWS requires the RocksDB state-store provider; scope the conf to this
+    // query and restore the default afterwards
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(
+      providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val edges = graft.streaming.StreamingIngest
+      .incrementalMentionEdgesTws(spark, transcripts, KgPipeline.defaultConcepts)
+    val query = edges.writeStream
+      .format("memory")
+      .queryName("tws_edges_stream")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ("t1", 0, "user", "the table scan is slow", None, ts(0)),
+        ("t1", 1, "assistant", "use a hash join", None, ts(1))
+      )
+      query.processAllAvailable()
+      input.addData(
+        ("t1", 0, "user", "the table scan is slow", None, ts(0)), // replay
+        ("t1", 2, "user", "the table scan again", None, ts(2)),
+        ("t2", 0, "user", "a window function", None, ts(2))
+      )
+      query.processAllAvailable()
+      val got = spark.table("tws_edges_stream").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+      assert(got.size == got.distinct.size, s"duplicate edges emitted: $got")
+      assert(
+        got.toSet == Set(("t1_0", "Q10"), ("t1_1", "Q11"), ("t1_2", "Q10"), ("t2_0", "Q14")),
+        s"got $got")
+      // expiry: advance the watermark far past retention, then a late replay
+      // is dropped by the watermark filter (same contract as the FMGWS twin)
+      input.addData(("t3", 0, "user", "the data stream", None, ts(60)))
+      query.processAllAvailable()
+      input.addData(("t1", 0, "user", "the table scan is slow", None, ts(0)))
+      query.processAllAvailable()
+      val got2 = spark.table("tws_edges_stream").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+      assert(got2.size == got2.distinct.size, s"post-expiry duplicates: $got2")
+      assert(got2.toSet == got.toSet + (("t3_0", "Q16")), s"got $got2")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
