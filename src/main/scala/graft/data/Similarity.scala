@@ -27,6 +27,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine against a DRIVER-CONSTANT vector. aggregate/zip_with lambdas are
+    * not foldable, so cosine(a, lit-array) would re-fold the constant's
+    * 2·dim-element norm per ROW; here the norm is precomputed with the same
+    * sequential fold + sqrt on the driver (bit-identical to the column
+    * computation, so oracle parity is preserved). */
+  def cosineToConst(a: Column, c: Array[Double]): Column = {
+    val cCol = array(c.map(lit(_)): _*)
+    val cNorm = math.sqrt(c.map(x => x * x).sum)
+    dot(a, cCol) / (norm(a) * lit(cNorm))
+  }
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** The IVF centroid codebook, collected to the driver. This is a bounded

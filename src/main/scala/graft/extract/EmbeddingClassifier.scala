@@ -27,12 +27,13 @@ object EmbeddingClassifier {
       conceptEmbedding: Array[Double],
       threshold: Double = 0.65
   ): DataFrame = {
-    val cvec: Column = array(conceptEmbedding.map(lit(_)): _*)
     passages
       .select(
         col("passage_id"),
         col("text_len"),
-        Similarity.cosine(col("embedding").cast("array<double>"), cvec).as("probability")
+        Similarity
+          .cosineToConst(col("embedding").cast("array<double>"), conceptEmbedding)
+          .as("probability")
       )
       .where(col("probability") >= threshold)
       .select(

@@ -400,12 +400,14 @@ object KgPipeline {
       sequence(lit(0), lit(dim - 1)),
       i => (size(filter(col("hv"), h => h === i)) + 1).cast("double")
     )
-    val cvec = transform(sequence(lit(0), lit(dim - 1)), i => ((i * 5 + 2) % 101).cast("double") / 101.0)
+    // driver-constant concept vector: same int arithmetic as the SQL twin,
+    // norm precomputed once (see Similarity.cosineToConst)
+    val cvec = (0 until dim).map(i => ((i * 5 + 2) % 101).toDouble / 101.0).toArray
     val target = concepts.find(_.wikibaseId == "Q15").getOrElse(concepts.head)
     val emb = turns
       .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"), hvec.as("hv"))
       .select(col("conv_id"), col("turn_idx"), e.as("e"))
-      .select(col("conv_id"), col("turn_idx"), graft.data.Similarity.cosine(col("e"), cvec).as("prob"))
+      .select(col("conv_id"), col("turn_idx"), graft.data.Similarity.cosineToConst(col("e"), cvec).as("prob"))
       .where(col("prob") >= threshold)
       .select(
         lit(embeddingClassifierId(target)).as("classifier_id"),
