@@ -341,6 +341,28 @@ object SparkEntry {
         .where(col("rn") <= 5)
         .select("event_id", "event_type", "rn")
     }),
+    // ---- C3/C4: model-classifier plumbing (stub scorers, real contracts) ----
+    // the scorers are deterministic integer-hash stubs (no transformer
+    // runtime in-sandbox) chosen to be SQL-replicable, so the DuckDB oracle
+    // checks the REAL parts end-to-end: batching, the whole-text-span
+    // contract at the reference threshold 0.524 (C3, targets.py:96-142) and
+    // the BIO run -> char-span reconstruction + min-length + threshold
+    // filters (C4, bert_token_classifier.py:119-193 — itself locked against
+    // the executed reference function by BioSpansSpec).
+    "c3_targets" -> ((s, dir) => {
+      val passages = docs(s, dir).select(col("doc_id").cast("long").as("passage_id"), col("text"))
+      graft.extract.ModelClassifiers
+        .predictSequence(s, passages, new graft.extract.ModelClassifiers.StubSequenceScorer, "Q1651")
+    }),
+    "c4_token_spans" -> ((s, dir) => {
+      val passages = docs(s, dir).select(col("doc_id").cast("long").as("passage_id"), col("text"))
+      val scorer = new graft.extract.ModelClassifiers.StubTokenScorer(
+        triggers = Set("scan", "join", "sort", "merge", "window"),
+        continuations = Set("table", "batch", "stream", "group", "data", "fast")
+      )
+      graft.extract.ModelClassifiers
+        .predictTokenSpans(s, passages, scorer, "Q99", threshold = Some(0.7))
+    }),
     // ---- S10 dynamism: concept-store swap drill ------------------------------
     // the same pipeline + oracle machinery rebuilt from swappedConcepts (a
     // wikibase-style update batch: Q90 added, Q17 deleted, Q80 redirected
@@ -469,6 +491,55 @@ object SparkEntry {
     "kg_linked_surfaces" -> OracleGen.linkedSurfacesSql,
     "kg_canonical_mentions" -> OracleGen.canonicalMentionsSql,
     "kg_mention_counts" -> OracleGen.mentionCountsSql,
+    // C3: the stub's probability is pure integer arithmetic -> replicated
+    // from scratch in SQL (mod-sum of portable 60-bit token hashes)
+    "c3_targets" ->
+      """WITH t AS (SELECT doc_id AS passage_id, text, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT passage_id, length(text) AS tl,
+        |         (SUM(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1000003) % 1000003) % 1000 AS m
+        |  FROM (SELECT passage_id, text, unnest(toks) AS tok FROM t) GROUP BY passage_id, length(text))
+        |SELECT passage_id, 0 AS "start", CAST(tl AS INT) AS "end", 'Q1651' AS concept_id,
+        |       CAST(m AS DOUBLE) / 1000.0 AS probability
+        |FROM p WHERE CAST(m AS DOUBLE) / 1000.0 >= 0.524""".stripMargin,
+    // C4: gaps-and-islands re-derivation of the BIO runs — group tokens on
+    // cumulative non-continuation count; a group whose seed is a trigger is
+    // one span (seed B + following I continuations); char offsets from the
+    // single-spaced corpus as prefix sums; span probability re-folds the
+    // per-token doubles IN TOKEN ORDER (list_reduce) to match the engine's
+    // sequential mean bit-exactly
+    "c4_token_spans" ->
+      """WITH t AS (SELECT doc_id AS passage_id, string_split(text, ' ') AS toks FROM documents),
+        |tok0 AS (SELECT passage_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM t),
+        |tok AS (
+        |  SELECT *, SUM(length(tok) + 1) OVER (PARTITION BY passage_id ORDER BY pos) AS endplus
+        |  FROM tok0),
+        |tok2 AS (
+        |  SELECT passage_id, tok, pos,
+        |         CAST(endplus - length(tok) - 1 AS INT) AS tstart,
+        |         CAST(endplus - 1 AS INT) AS tend,
+        |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 500 AS h,
+        |         lower(tok) IN ('scan', 'join', 'sort', 'merge', 'window') AS is_seed,
+        |         lower(tok) IN ('table', 'batch', 'stream', 'group', 'data', 'fast') AS is_cont
+        |  FROM tok),
+        |grouped AS (
+        |  SELECT *, SUM(CASE WHEN is_cont THEN 0 ELSE 1 END)
+        |              OVER (PARTITION BY passage_id ORDER BY pos) AS grp
+        |  FROM tok2),
+        |spans AS (
+        |  SELECT passage_id, grp,
+        |         MIN(CASE WHEN NOT is_cont THEN tstart END) AS sstart,
+        |         MAX(tend) AS send,
+        |         BOOL_OR(CASE WHEN NOT is_cont THEN is_seed END) AS seeded,
+        |         list(500 + h ORDER BY pos) AS probs
+        |  FROM grouped GROUP BY 1, 2)
+        |SELECT passage_id, sstart AS "start", send AS "end", 'Q99' AS concept_id,
+        |       list_reduce(list_transform(probs, x -> CAST(x AS DOUBLE) / 1000.0), (a, b) -> a + b)
+        |         / len(probs) AS probability
+        |FROM spans
+        |WHERE seeded AND send - sstart >= 2
+        |  AND list_reduce(list_transform(probs, x -> CAST(x AS DOUBLE) / 1000.0), (a, b) -> a + b)
+        |        / len(probs) >= 0.7""".stripMargin,
     "swap_mention_counts" -> OracleGen.mentionCountsSqlFor(DemoConceptStore.swappedConcepts),
     "swap_canonical" -> OracleGen.canonicalSqlFor(DemoConceptStore.swappedConcepts),
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
