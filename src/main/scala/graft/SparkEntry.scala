@@ -341,6 +341,18 @@ object SparkEntry {
         .where(col("rn") <= 5)
         .select("event_id", "event_type", "rn")
     }),
+    // ---- G10: train-data balancing ------------------------------------------
+    // eval-text exclusion (anti-join) then the reference's half/half cap with
+    // remainder fill (train.py:101-178); "first k" made deterministic by
+    // ordering on doc_id. Positives = docs mentioning 'scan'.
+    "g10_train_balance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val eval_ = d.where(col("doc_id") % 13 === 0)
+      val train = graft.data.Sampling.deduplicateAgainstEval(d, eval_)
+      graft.data.Sampling
+        .limitAndBalance(train, col("text").contains("scan"), maxSamples = 300L, orderCol = "doc_id")
+        .select("doc_id", "is_positive")
+    }),
     // ---- C3/C4: model-classifier plumbing (stub scorers, real contracts) ----
     // the scorers are deterministic integer-hash stubs (no transformer
     // runtime in-sandbox) chosen to be SQL-replicable, so the DuckDB oracle
@@ -491,6 +503,22 @@ object SparkEntry {
     "kg_linked_surfaces" -> OracleGen.linkedSurfacesSql,
     "kg_canonical_mentions" -> OracleGen.canonicalMentionsSql,
     "kg_mention_counts" -> OracleGen.mentionCountsSql,
+    // G10: the quota arithmetic re-derived stepwise in SQL
+    "g10_train_balance" ->
+      """WITH eval_texts AS (SELECT DISTINCT text FROM documents WHERE doc_id % 13 = 0),
+        |train AS (
+        |  SELECT d.doc_id, contains(d.text, 'scan') AS is_positive
+        |  FROM documents d LEFT JOIN eval_texts e ON d.text = e.text WHERE e.text IS NULL),
+        |c AS (SELECT COUNT(*) FILTER (is_positive) AS npos, COUNT(*) FILTER (NOT is_positive) AS nneg FROM train),
+        |q0 AS (SELECT npos, nneg, LEAST(npos, 150) AS p0, LEAST(nneg, 150) AS n0 FROM c),
+        |q1 AS (SELECT *, 300 - p0 - n0 AS rem FROM q0),
+        |q2 AS (SELECT *, p0 + GREATEST(LEAST(rem, npos - p0), 0) AS posq FROM q1),
+        |q AS (SELECT *, n0 + GREATEST(LEAST(rem - (posq - p0), nneg - n0), 0) AS negq FROM q2),
+        |r AS (SELECT doc_id, is_positive,
+        |             ROW_NUMBER() OVER (PARTITION BY is_positive ORDER BY doc_id) AS rn
+        |      FROM train)
+        |SELECT r.doc_id, r.is_positive FROM r, q
+        |WHERE (r.is_positive AND r.rn <= q.posq) OR (NOT r.is_positive AND r.rn <= q.negq)""".stripMargin,
     // C3: the stub's probability is pure integer arithmetic -> replicated
     // from scratch in SQL (mod-sum of portable 60-bit token hashes)
     "c3_targets" ->

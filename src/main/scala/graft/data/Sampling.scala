@@ -48,4 +48,48 @@ object Sampling {
       }
     result.drop("__stratum", "__r", "__rn")
   }
+
+  /** G10 eval-set exclusion (operations/train.py:101-120): drop training
+    * passages whose TEXT appears in the evaluation set — a broadcast-able
+    * anti-join on text (the reference's set-membership filter). */
+  def deduplicateAgainstEval(training: DataFrame, evaluation: DataFrame): DataFrame =
+    training.join(evaluation.select("text").distinct(), Seq("text"), "left_anti")
+
+  /** G10 train balancing (operations/train.py:122-178): cap at `maxSamples`
+    * aiming for a half/half positive/negative split; if a perfect split
+    * isn't possible, take all of the smaller group and fill the remainder
+    * from the larger one (positives first, like the reference). The
+    * reference takes "the first k" in list order; a distributed engine must
+    * NAME that order — `orderCol` (the quota arithmetic is identical). The
+    * two group counts are a bounded model artifact collected to the driver;
+    * the selection itself is a per-group row_number window. */
+  def limitAndBalance(
+      passages: DataFrame,
+      isPositive: org.apache.spark.sql.Column,
+      maxSamples: Long,
+      orderCol: String
+  ): DataFrame = {
+    val flagged = passages.withColumn("is_positive", isPositive)
+    val counts = flagged
+      .groupBy("is_positive")
+      .count()
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1))
+      .toMap
+    val nPos = counts.getOrElse(true, 0L)
+    val nNeg = counts.getOrElse(false, 0L)
+    val half = maxSamples / 2
+    var posQ = math.min(nPos, half)
+    var negQ = math.min(nNeg, half)
+    var rem = maxSamples - posQ - negQ
+    if (rem > 0 && posQ < nPos) { val e = math.min(rem, nPos - posQ); posQ += e; rem -= e }
+    if (rem > 0 && negQ < nNeg) negQ += math.min(rem, nNeg - negQ)
+    val w = Window.partitionBy(col("is_positive")).orderBy(col(orderCol))
+    flagged
+      .withColumn("__rn", row_number().over(w))
+      .where(
+        (col("is_positive") && col("__rn") <= posQ) ||
+          (!col("is_positive") && col("__rn") <= negQ))
+      .drop("__rn")
+  }
 }
