@@ -456,47 +456,62 @@ object SparkEntry {
     // counts with a different strategy (per-span max-jaccard vs the engine's
     // per-passage array filters).
     "eval_pr" -> ((s, dir) => {
-      val turns = KgPipeline
-        .eligibleTurns(Transcripts.read(s, dir))
-        .select(concat_ws("|", col("conv_id"), col("turn_idx")).as("passage_id"), col("text"), col("turn_idx"))
-      val fixture = s.read.parquet(OracleGen.refMentionsPath)
-      val gold = turns
-        .join(fixture, md5(col("text")) === col("text_md5"))
-        .groupBy("passage_id")
-        .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
-      val perturbed = mentions(s, dir)
-        .where((col("start") + col("end") + col("turn_idx")) % 5 =!= 0)
-        .select(
-          concat_ws("|", col("conv_id"), col("turn_idx")).as("passage_id"),
-          struct(
-            col("start"),
-            when((col("start") + col("end")) % 7 === 3, col("end") + 3).otherwise(col("end")).as("end")
-          ).as("sp")
-        )
-      val spurious = turns
-        .where(col("turn_idx") % 11 === 7 && length(col("text")) >= 10)
-        .select(col("passage_id"), struct(lit(0).as("start"), lit(7).as("end")).as("sp"))
-      val pred = perturbed
-        .unionByName(spurious)
-        .groupBy("passage_id")
-        .agg(collect_list(col("sp")).as("spans"))
-      // left-join back onto the full turn universe so mention-free turns
-      // participate as true negatives
-      val universe = turns.select("passage_id")
-      graft.eval.Metrics
-        .spanLevelSweep(
-          universe.join(gold, Seq("passage_id"), "left"),
-          universe.join(pred, Seq("passage_id"), "left"),
-          Seq(0, 50, 90, 99)
-        )
+      val (gold, pred) = evalGoldPred(s, dir)
+      graft.eval.Metrics.spanLevelSweep(gold, pred, Seq(0, 50, 90, 99))
+    }),
+    // G6 passage grain (metrics.py:145-186): positive = any span on the
+    // passage; same gold/perturbed-prediction construction as eval_pr
+    "eval_pr_passage" -> ((s, dir) => {
+      val (gold, pred) = evalGoldPred(s, dir)
+      graft.eval.Metrics.passageLevelDF(gold, pred)
     })
   )
+
+  /** Shared eval-harness inputs: (gold, predicted) span arrays over the FULL
+    * eligible-turn universe (mention-free turns participate as negatives).
+    * Gold = executed-reference fixture spans; predicted = the engine's
+    * mentions under the deterministic perturbation documented at eval_pr. */
+  private def evalGoldPred(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val turns = KgPipeline
+      .eligibleTurns(Transcripts.read(s, dir))
+      .select(concat_ws("|", col("conv_id"), col("turn_idx")).as("passage_id"), col("text"), col("turn_idx"))
+    val fixture = s.read.parquet(OracleGen.refMentionsPath)
+    // two passage-level perturbations keep BOTH grains non-degenerate on a
+    // mention-dense corpus at EVERY scale factor (turn_idx spans only 0..5
+    // at small sf): gold is excluded on 6-residues {1,2} and predictions
+    // dropped on 9-residues {1,4}, so turn 1 is a passage TN, turn 2 a
+    // passage FP, turn 4 a passage FN, and the rest carry TPs
+    val gold = turns
+      .where(!(col("turn_idx") % 6).isin(1, 2))
+      .join(fixture, md5(col("text")) === col("text_md5"))
+      .groupBy("passage_id")
+      .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
+    val perturbed = mentions(s, dir)
+      .where((col("start") + col("end") + col("turn_idx")) % 5 =!= 0 && !(col("turn_idx") % 9).isin(1, 4))
+      .select(
+        concat_ws("|", col("conv_id"), col("turn_idx")).as("passage_id"),
+        struct(
+          col("start"),
+          when((col("start") + col("end")) % 7 === 3, col("end") + 3).otherwise(col("end")).as("end")
+        ).as("sp")
+      )
+    val spurious = turns
+      .where(col("turn_idx") % 11 === 7 && length(col("text")) >= 10 && !(col("turn_idx") % 9).isin(1, 4))
+      .select(col("passage_id"), struct(lit(0).as("start"), lit(7).as("end")).as("sp"))
+    val pred = perturbed
+      .unionByName(spurious)
+      .groupBy("passage_id")
+      .agg(collect_list(col("sp")).as("spans"))
+    val universe = turns.select("passage_id")
+    (universe.join(gold, Seq("passage_id"), "left"), universe.join(pred, Seq("passage_id"), "left"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "kg_transcripts" -> OracleGen.transcriptsSql,
     "kg_turns_ordered" -> OracleGen.turnsOrderedSql,
     "kg_mentions" -> OracleGen.mentionsSql,
     "eval_pr" -> OracleGen.evalPrSql,
+    "eval_pr_passage" -> OracleGen.evalPrPassageSql,
     "kg_consolidate" -> OracleGen.consolidateSql,
     "kg_passage_concepts" -> OracleGen.passageConceptsSql,
     "kg_spans_v2" -> OracleGen.spansV2Sql,

@@ -122,6 +122,26 @@ object Metrics {
     )
   }
 
+  /** Distributed passage-level confusion counts (metrics.py:145-186): a
+    * passage is positive when its span list is non-empty; TP/FP/TN/FN are
+    * set intersections over the full passage universe. Same (passage_id,
+    * spans) inputs as spanLevelDF. */
+  def passageLevelDF(gold: DataFrame, predicted: DataFrame): DataFrame = {
+    val j = gold
+      .withColumnRenamed("spans", "g")
+      .join(predicted.withColumnRenamed("spans", "p"), Seq("passage_id"), "full")
+      .select(
+        (size(coalesce(col("g"), array())) > 0).as("gpos"),
+        (size(coalesce(col("p"), array())) > 0).as("ppos")
+      )
+    j.select(
+      sum(when(col("gpos") && col("ppos"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("gpos") && col("ppos"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("gpos") && !col("ppos"), 1L).otherwise(0L)).as("tn"),
+      sum(when(col("gpos") && !col("ppos"), 1L).otherwise(0L)).as("fn")
+    )
+  }
+
   /** Threshold sweep in ONE pass: the same counts as spanLevelDF at each
     * jaccard threshold, computed from a single gold⋈predicted join (the
     * per-threshold filters are extra codegen'd columns, not extra shuffles —

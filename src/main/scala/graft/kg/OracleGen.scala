@@ -312,26 +312,31 @@ object OracleGen {
     s"""WITH $transcriptsCte,
        |$turnsCte,
        |$refMentionsCte,
-       |gold AS (SELECT conv_id, turn_idx, start, "end", span_id FROM ref_mentions),
+       |gold AS (SELECT conv_id, turn_idx, start, "end", span_id FROM ref_mentions WHERE turn_idx % 6 NOT IN (1, 2)),
        |pred AS (
        |  SELECT conv_id, turn_idx, start,
        |         CASE WHEN (start + "end") % 7 = 3 THEN "end" + 3 ELSE "end" END AS "end",
        |         span_id
-       |  FROM ref_mentions WHERE (start + "end" + turn_idx) % 5 <> 0
+       |  FROM ref_mentions WHERE (start + "end" + turn_idx) % 5 <> 0 AND turn_idx % 9 NOT IN (1, 4)
        |  UNION ALL
        |  SELECT conv_id, turn_idx, 0 AS start, 7 AS "end",
        |         'spur|' || conv_id || '|' || CAST(turn_idx AS VARCHAR) AS span_id
-       |  FROM turns WHERE turn_idx % 11 = 7 AND len(text) >= 10),
+       |  FROM turns WHERE turn_idx % 11 = 7 AND len(text) >= 10 AND turn_idx % 9 NOT IN (1, 4)),
        |gold_best AS (
+       |  -- the CASE guard matters: DuckDB's LEAST/GREATEST IGNORE NULLs, so
+       |  -- without it an unmatched LEFT-JOIN row would score jac = 1.0
+       |  -- against the missing side instead of propagating NULL
        |  SELECT g.conv_id, g.turn_idx, g.span_id,
-       |         COALESCE(MAX(CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
-       |                      / (GREATEST(g."end", p."end") - LEAST(g.start, p.start))), -1) AS best
+       |         COALESCE(MAX(CASE WHEN p.span_id IS NULL THEN NULL
+       |                      ELSE CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
+       |                           / (GREATEST(g."end", p."end") - LEAST(g.start, p.start)) END), -1) AS best
        |  FROM gold g LEFT JOIN pred p ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
        |  GROUP BY 1, 2, 3),
        |pred_best AS (
        |  SELECT p.conv_id, p.turn_idx, p.span_id,
-       |         COALESCE(MAX(CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
-       |                      / (GREATEST(g."end", p."end") - LEAST(g.start, p.start))), -1) AS best
+       |         COALESCE(MAX(CASE WHEN g.span_id IS NULL THEN NULL
+       |                      ELSE CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
+       |                           / (GREATEST(g."end", p."end") - LEAST(g.start, p.start)) END), -1) AS best
        |  FROM pred p LEFT JOIN gold g ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
        |  GROUP BY 1, 2, 3),
        |th AS (SELECT unnest([0, 50, 90, 99]) AS threshold_pct),
@@ -350,6 +355,28 @@ object OracleGen {
        |    AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx))
        |SELECT cg.threshold_pct, cg.tp, cp.fp, tn_c.tn, cg.fn
        |FROM counts_g cg JOIN counts_p cp USING (threshold_pct) CROSS JOIN tn_c""".stripMargin
+
+  /** G6 passage grain: positive-passage set intersections over the full turn
+    * universe (metrics.py:145-186), same gold/pred CTEs as evalPrSql. */
+  val evalPrPassageSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |gold AS (SELECT conv_id, turn_idx FROM ref_mentions WHERE turn_idx % 6 NOT IN (1, 2)),
+       |pred AS (
+       |  SELECT conv_id, turn_idx FROM ref_mentions WHERE (start + "end" + turn_idx) % 5 <> 0 AND turn_idx % 9 NOT IN (1, 4)
+       |  UNION ALL
+       |  SELECT conv_id, turn_idx FROM turns WHERE turn_idx % 11 = 7 AND len(text) >= 10 AND turn_idx % 9 NOT IN (1, 4)),
+       |flags AS (
+       |  SELECT t.conv_id, t.turn_idx,
+       |         EXISTS(SELECT 1 FROM gold g WHERE g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx) AS gpos,
+       |         EXISTS(SELECT 1 FROM pred p WHERE p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx) AS ppos
+       |  FROM turns t)
+       |SELECT CAST(SUM(CASE WHEN gpos AND ppos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |       CAST(SUM(CASE WHEN NOT gpos AND ppos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |       CAST(SUM(CASE WHEN NOT gpos AND NOT ppos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |       CAST(SUM(CASE WHEN gpos AND NOT ppos THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |FROM flags""".stripMargin
 
   /** Dictionary VALUES for the linking oracles: (label_lc, concept_id, kind)
     * for every preferred and alternative label — the SQL twin of the
