@@ -115,20 +115,23 @@ object Bench {
       // allocator/code-cache warm-up, a CONSTANT penalty that deflates the
       // short p32 leg proportionally more than the long p8 leg and biases
       // the ratio down; the second run measures the session-warm capability
-      def runLeg(c: Int): (Long, Double) = {
+      // returns (triples, min of two back-to-back runs, FIRST run) — the
+      // first sample of the very first p32 leg is the genuinely cold run
+      // reported as first_run_sec (comparable across rounds)
+      def runLeg(c: Int): (Long, Double, Double) = {
         val s = session(c)
         System.gc()
         val a = kgJob(s, synthPath)
         val b = kgJob(s, synthPath)
         s.stop()
-        (a._1, math.min(a._2, b._2))
+        (a._1, math.min(a._2, b._2), a._2)
       }
       // one warm run per parallelism level first: JIT profiles persist
       // across SparkSessions in the same JVM, so later samples are all warm
       val warm8 = runLeg(8)
       val warm32 = runLeg(32)
       triples32 = warm32._1
-      sec32first = warm32._2
+      sec32first = warm32._3
       require(
         warm8._1 == warm32._1,
         s"triple counts differ across parallelism: ${warm8._1} vs ${warm32._1}")

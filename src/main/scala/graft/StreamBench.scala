@@ -31,6 +31,15 @@ object StreamBench {
     )
   )
 
+  private def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nTurns = sys.env.getOrElse("SPARK_GRAFT_STREAM_TURNS", "4000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -105,6 +114,7 @@ object StreamBench {
       var waited = 0
       while (wq.recentProgress.isEmpty && waited < 600) { Thread.sleep(100); waited += 1 }
       wq.stop()
+      deleteRecursively(warmCkpt)
     }
     // the synthetic event times span ~10 days and files arrive in random
     // event-time order, so the watermark delay must cover the WHOLE span:
@@ -129,6 +139,8 @@ object StreamBench {
     val batches = progress.length
     query.stop()
 
+    // checkpoints live on tmpfs (RAM): clean up or repeated bench runs fill /dev/shm
+    deleteRecursively(ckpt)
     if (sys.env.getOrElse("SPARK_GRAFT_STREAM_DEBUG", "0") == "1")
       progress.foreach(p => println(s"[stream-progress] ${p.json}"))
     val json =

@@ -69,7 +69,10 @@ object Sampling {
       maxSamples: Long,
       orderCol: String
   ): DataFrame = {
-    val flagged = passages.withColumn("is_positive", isPositive)
+    // the reference's positivity test (p.spans non-empty) can never be null;
+    // an arbitrary caller predicate can — treat null as negative rather than
+    // NPE-ing on the collected group key / silently dropping the rows
+    val flagged = passages.withColumn("is_positive", coalesce(isPositive, lit(false)))
     val counts = flagged
       .groupBy("is_positive")
       .count()

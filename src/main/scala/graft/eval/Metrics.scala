@@ -85,26 +85,34 @@ object Metrics {
     )
   }
 
-  /** Distributed span-level confusion counts. Inputs: (passage_id,
-    * spans array<struct<start int, end int>>) for gold and predictions; the
-    * join is an equi-join on passage id (safer than the reference's
-    * positional zip, J6) and the per-row matching is a pure column plan. */
-  def spanLevelDF(gold: DataFrame, predicted: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val j = gold
+  /** Envelope Jaccard of two (start, end) structs — identical int arithmetic
+    * then ONE double division; the DuckDB oracles replicate this exact shape
+    * for bit-equality, so every caller must share THIS definition. */
+  private def jac(a: Column, b: Column): Column = {
+    val inter = greatest(
+      lit(0),
+      least(a.getField("end"), b.getField("end")) - greatest(a.getField("start"), b.getField("start"))
+    )
+    val union = greatest(a.getField("end"), b.getField("end")) -
+      least(a.getField("start"), b.getField("start"))
+    inter.cast("double") / union
+  }
+
+  /** Full-join gold/predicted span arrays on passage_id, null arrays
+    * coalesced empty — shared prologue of every distributed eval. */
+  private def joined(gold: DataFrame, predicted: DataFrame): DataFrame =
+    gold
       .withColumnRenamed("spans", "g")
       .join(predicted.withColumnRenamed("spans", "p"), Seq("passage_id"), "full")
       .withColumn("g", coalesce(col("g"), array()))
       .withColumn("p", coalesce(col("p"), array()))
 
-    def jac(a: Column, b: Column): Column = {
-      val inter = greatest(
-        lit(0),
-        least(a.getField("end"), b.getField("end")) - greatest(a.getField("start"), b.getField("start"))
-      )
-      val union = greatest(a.getField("end"), b.getField("end")) -
-        least(a.getField("start"), b.getField("start"))
-      inter.cast("double") / union
-    }
+  /** Distributed span-level confusion counts. Inputs: (passage_id,
+    * spans array<struct<start int, end int>>) for gold and predictions; the
+    * join is an equi-join on passage id (safer than the reference's
+    * positional zip, J6) and the per-row matching is a pure column plan. */
+  def spanLevelDF(gold: DataFrame, predicted: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val j = joined(gold, predicted)
 
     j.select(
       when(size(col("g")) === 0 && size(col("p")) === 0, 1L).otherwise(0L).as("tn"),
@@ -127,13 +135,8 @@ object Metrics {
     * set intersections over the full passage universe. Same (passage_id,
     * spans) inputs as spanLevelDF. */
   def passageLevelDF(gold: DataFrame, predicted: DataFrame): DataFrame = {
-    val j = gold
-      .withColumnRenamed("spans", "g")
-      .join(predicted.withColumnRenamed("spans", "p"), Seq("passage_id"), "full")
-      .select(
-        (size(coalesce(col("g"), array())) > 0).as("gpos"),
-        (size(coalesce(col("p"), array())) > 0).as("ppos")
-      )
+    val j = joined(gold, predicted)
+      .select((size(col("g")) > 0).as("gpos"), (size(col("p")) > 0).as("ppos"))
     j.select(
       sum(when(col("gpos") && col("ppos"), 1L).otherwise(0L)).as("tp"),
       sum(when(!col("gpos") && col("ppos"), 1L).otherwise(0L)).as("fp"),
@@ -149,22 +152,7 @@ object Metrics {
     * Inputs as spanLevelDF; thresholds given as integer percents so the
     * output stays float-free: (threshold_pct, tp, fp, tn, fn). */
   def spanLevelSweep(gold: DataFrame, predicted: DataFrame, thresholdsPct: Seq[Int]): DataFrame = {
-    val j = gold
-      .withColumnRenamed("spans", "g")
-      .join(predicted.withColumnRenamed("spans", "p"), Seq("passage_id"), "full")
-      .withColumn("g", coalesce(col("g"), array()))
-      .withColumn("p", coalesce(col("p"), array()))
-
-    def jac(a: Column, b: Column): Column = {
-      val inter = greatest(
-        lit(0),
-        least(a.getField("end"), b.getField("end")) - greatest(a.getField("start"), b.getField("start"))
-      )
-      val union = greatest(a.getField("end"), b.getField("end")) -
-        least(a.getField("start"), b.getField("start"))
-      inter.cast("double") / union
-    }
-
+    val j = joined(gold, predicted)
     val perRow = thresholdsPct.flatMap { pct =>
       val t = lit(pct / 100.0)
       Seq(

@@ -27,9 +27,13 @@ import graft.core.Concept
   * term never emits and still suppresses other overlapping positives. */
 object KeywordExpansion {
 
+  // ObjectMapper construction is heavyweight and the instance is
+  // thread-safe for readTree; the C7 fit loop runs per concept
+  private val mapper = new ObjectMapper()
+
   def expand(concept: Concept, llmResponse: String): Concept =
     try {
-      val root = new ObjectMapper().readTree(llmResponse)
+      val root = mapper.readTree(llmResponse)
       val posNode = root.get("positive_keywords")
       val negNode = root.get("negative_keywords")
       require(posNode != null && posNode.isArray && negNode != null && negNode.isArray)

@@ -38,12 +38,23 @@ object ModelClassifiers {
     def scoreBatch(texts: Seq[String]): Seq[(Array[Int], Array[Double], Array[(Int, Int)])]
   }
 
+  @transient private lazy val digestTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** JVM twin of Dedup.portableTokenHash: first 15 hex chars of md5 as a
-    * 60-bit long — shared with the DuckDB oracle dialect. */
+    * 60-bit long — shared with the DuckDB oracle dialect. Assembled from the
+    * first 7.5 digest BYTES directly (big-endian, top nibble of byte 7) —
+    * equal to parsing the 15-hex-char prefix, without per-token hex
+    * formatting; the digest is thread-local (this runs per token inside
+    * mapPartitions). */
   private[extract] def portableHash(tok: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest(tok.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
   /** STUB sequence scorer — deterministic and SQL-replicable: probability =

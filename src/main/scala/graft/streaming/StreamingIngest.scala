@@ -97,6 +97,9 @@ object StreamingIngest {
         graft.extract.expressions.extractOrdinalsPresent(col("text"), gaz).as("ords"),
         col("ts")
       )
+      // mention-free turns would otherwise shuffle and create state entries
+      // (the edge-grain explode dropped them implicitly)
+      .where(size(col("ords")) > 0)
       .as[EdgeEvent]
 
     events
@@ -233,6 +236,9 @@ object StreamingIngest {
         graft.extract.expressions.extractOrdinalsPresent(col("text"), gaz).as("ords"),
         col("ts")
       )
+      // mention-free turns would otherwise shuffle and create state entries
+      // (the edge-grain explode dropped them implicitly)
+      .where(size(col("ords")) > 0)
       .as[EdgeEvent]
     events
       .groupByKey(_.conv_id)
