@@ -56,6 +56,7 @@ object Checkpoint {
       runId: String,
       nBuckets: Int = DefaultBuckets
   )(transform: DataFrame => DataFrame): Int = {
+    val t0 = System.nanoTime()
     val done = completedBuckets(spark, dir, stage)
     val bucketed = input.withColumn("bucket", bucketCol(keyCol, nBuckets))
     val todo =
@@ -97,6 +98,13 @@ object Checkpoint {
       .withColumn("stage", lit(stage))
       .withColumn("run_id", lit(runId))
       .withColumn("status", lit("ok"))
+      // run-level METRICS ride on every bucket row (S12: the reference's
+      // run-metadata files carry wall time + batch counts,
+      // inference.py:1195-1256): how long this run took up to the data
+      // commit and how many buckets it processed — enough to reconstruct
+      // per-run throughput from the lineage table alone
+      .withColumn("run_wall_sec", lit((System.nanoTime() - t0) / 1e9))
+      .withColumn("n_buckets_in_run", lit(ids.length))
 
     lineage.write.mode(SaveMode.Append).parquet(lineagePath(dir))
     ids.length

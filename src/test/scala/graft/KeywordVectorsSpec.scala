@@ -127,4 +127,37 @@ class KeywordVectorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cs anchor prefilter is lossless: boundary-failing anchors, absent anchors, true matches") {
+    import graft.core.Concept
+    import graft.extract.{Gazetteer, KeywordMatcher}
+    // labels chosen so the LONGEST word run ('Spark', 'GHG', 'NetZero') is a
+    // real anchor; texts place the anchor inside larger words (prefilter
+    // passes, regex must still reject on boundaries), omit it entirely
+    // (prefilter must prove the miss), or present genuine matches
+    val concepts = Vector(
+      Concept.normalized("Q201", "motor", Seq("Spark Plug", "plug")),
+      Concept.normalized("Q202", "emissions", Seq("GHG")),
+      Concept.normalized("Q203", "target", Seq("NetZero-2050"))
+    )
+    val gaz = new Gazetteer(concepts)
+    val matchers = concepts.map(new KeywordMatcher(_))
+    val texts = Vector(
+      "the Spark Plug fired",            // true cs match
+      "sparkly Sparkling aSpark text",   // anchor inside larger words only
+      "spark plug lowercase only",       // ci labels may fire, cs must not
+      "GHGs and aGHG and GHG",           // boundary fails + one true match
+      "no anchors anywhere here",        // prefilter proves the miss
+      "NetZero 2050 and NetZero-2050",   // separator-flexible multi-part
+      "NetZeroX-2050 almost"             // anchor present, boundary fails
+    )
+    texts.foreach { t =>
+      val all = gaz.findAll(t)
+      val present = gaz.findPresent(t)
+      concepts.indices.foreach { i =>
+        assert(all(i) == matchers(i).findSpans(t), s"spans diverged: '${t}' concept ${concepts(i).wikibaseId}")
+        assert(present(i) == matchers(i).findSpans(t).nonEmpty, s"presence diverged: '${t}' ${concepts(i).wikibaseId}")
+      }
+    }
+  }
 }
