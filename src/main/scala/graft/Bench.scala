@@ -135,31 +135,42 @@ object Bench {
       require(
         warm8._1 == warm32._1,
         s"triple counts differ across parallelism: ${warm8._1} vs ${warm32._1}")
+      // JMH-style warm-up/measurement split. The round-3 driver run showed
+      // per-pair ratios climbing monotonically (0.705 -> 0.911) across five
+      // pairs: C2 JIT of the generated extraction code and page-cache faulting
+      // of the 16M-turn corpus extend past the initial warm legs, and the
+      // short p32 leg amortizes that transient proportionally worse than the
+      // long p8 leg — every cold pair biases the ratio DOWN, never up. So two
+      // full pairs are run and DISCARDED (4 more runs per level, reaching the
+      // plateau the observed trend shows), and the median is taken over the
+      // measured window only. Discarded pair ratios are still reported
+      // (warmup_pairs) so the record shows the transient rather than hiding it.
+      def runPair(i: Int): (Double, Double) =
+        if (i % 2 == 0) { val a = runLeg(8)._2; val b = runLeg(32)._2; (a, b) }
+        else { val b = runLeg(32)._2; val a = runLeg(8)._2; (a, b) }
+      val warmupPairs = (0 until 2).map(runPair)
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       val budgetStart = System.nanoTime()
       var i = 0
-      while (i < 4 || ((System.nanoTime() - budgetStart) < 150e9 && i < 8)) {
-        val p =
-          if (i % 2 == 0) { val a = runLeg(8)._2; val b = runLeg(32)._2; (a, b) }
-          else { val b = runLeg(32)._2; val a = runLeg(8)._2; (a, b) }
-        pairs += p
+      while (i < 5 || ((System.nanoTime() - budgetStart) < 150e9 && i < 8)) {
+        pairs += runPair(i)
         i += 1
       }
       val effs = pairs.map { case (s8, s32) => s8 / (4.0 * s32) }.sorted
       val effMedian =
         if (effs.size % 2 == 1) effs(effs.size / 2)
         else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
-      val sec8Best = (pairs.map(_._1) :+ warm8._2).min
-      val sec32Best = (pairs.map(_._2) :+ warm32._2).min
+      val sec8Best = (pairs.map(_._1) ++ warmupPairs.map(_._1) :+ warm8._2).min
+      val sec32Best = (pairs.map(_._2) ++ warmupPairs.map(_._2) :+ warm32._2).min
       secMain = sec32Best
       val thr8 = triples32 / sec8Best
       val thr32 = triples32 / sec32Best
       mainThroughput = thr32
-      val pairsJson = pairs
+      def pairsJsonOf(ps: Seq[(Double, Double)]) = ps
         .map { case (s8, s32) => f"""{"sec_p8":$s8%.3f,"sec_p32":$s32%.3f,"eff":${s8 / (4.0 * s32)}%.3f}""" }
         .mkString("[", ",", "]")
       scalingJson =
-        f"""{"parallelism_low":8,"parallelism_high":32,"triples":$triples32,"sec_p8":$sec8Best%.3f,"sec_p32":$sec32Best%.3f,"triples_per_sec_p8":$thr8%.1f,"triples_per_sec_p32":$thr32%.1f,"efficiency":$effMedian%.3f,"efficiency_best_legs":${(thr32 / thr8) / 4.0}%.3f,"method":"interleaved paired legs, median of per-pair ratios","pairs":$pairsJson}"""
+        f"""{"parallelism_low":8,"parallelism_high":32,"triples":$triples32,"sec_p8":$sec8Best%.3f,"sec_p32":$sec32Best%.3f,"triples_per_sec_p8":$thr8%.1f,"triples_per_sec_p32":$thr32%.1f,"efficiency":$effMedian%.3f,"efficiency_best_legs":${(thr32 / thr8) / 4.0}%.3f,"method":"interleaved paired legs, 2 discarded warm-up pairs, median of measured per-pair ratios","warmup_pairs":${pairsJsonOf(warmupPairs)},"pairs":${pairsJsonOf(pairs.toSeq)}}"""
     }
 
     // ---- part 2: write-inclusive end-to-end + per-query timings ------------
