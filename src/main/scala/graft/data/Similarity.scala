@@ -214,9 +214,14 @@ object Similarity {
       nQueries: Int = 200,
       threshold: Double = 0.4,
       nCells: Int = 16,
-      nProbe: Int = 6
+      nProbe: Int = 6,
+      preProbes: Option[DataFrame] = None,
+      preCents: Option[Seq[(Int, Seq[Double])]] = None
   ): DataFrame = {
-    val probes = probeAssign(emb, nCells, nProbe)
+    // preProbes: a persisted (vec_id, cell) probe index — without it the
+    // probe projection (nCells dots + a sort per vector) evaluates once per
+    // side of the candidate self-join
+    val probes = preProbes.getOrElse(probeAssign(emb, nCells, nProbe, preCents))
     val qProbes = probes.where(col("vec_id") < nQueries).select(col("vec_id").as("doc_a"), col("cell"))
     val allProbes = probes.select(col("vec_id").as("doc_b"), col("cell"))
     val cand = qProbes
