@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — the native codegen
+    * expression (bit-identical accumulation order to the HOF form
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and to DuckDB's
+    * list_dot_product; see DotProductExpression). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.extract.DotProductExpression.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
