@@ -113,4 +113,43 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == 3.0 / 6) // the, and, a
     assert(r.getAs[Double]("punct_ratio") == 2.0 / 23) // , !
   }
+
+  test("dot_product codegen expression: bit-exact vs the HOF fold, null semantics mirrored") {
+    import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
+    import graft.extract.DotProductExpression.dotProduct
+    val rng = new scala.util.Random(7)
+    // awkward magnitudes so any accumulation-order difference shows up in
+    // the low bits; Option cells exercise element-null propagation
+    def vec(n: Int): Seq[Option[Double]] =
+      Seq.tabulate(n)(i => Some((rng.nextDouble() - 0.5) * math.pow(10.0, i % 7 - 3)))
+    val rows: Seq[(Long, Seq[Option[Double]], Seq[Option[Double]])] = Seq(
+      (1L, vec(64), vec(64)),
+      (2L, vec(7), vec(7)),
+      (3L, vec(5), vec(6)),                               // length mismatch -> null
+      (4L, vec(4).updated(2, None), vec(4)),              // null element -> null
+      (5L, Seq.empty[Option[Double]], Seq.empty[Option[Double]]) // empty -> 0.0
+    )
+    val df = rows.toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val out = df
+      .select(col("id"), dotProduct(col("a"), col("b")).as("native"), hof.as("hof"))
+      .orderBy("id")
+      .collect()
+    out.foreach { r =>
+      val n = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val h = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      // bit-exact: compare raw IEEE bits, not within-epsilon
+      assert(
+        n.map(java.lang.Double.doubleToRawLongBits) == h.map(java.lang.Double.doubleToRawLongBits),
+        s"row ${r.getLong(0)}: native=$n hof=$h")
+    }
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1)) // mismatch + null element
+    assert(out(4).getDouble(1) == 0.0)
+    // null input array propagates
+    val nullRow = Seq((1L, null.asInstanceOf[Seq[Double]], Seq(1.0)))
+      .toDF("id", "a", "b")
+      .select(dotProduct(col("a").cast("array<double>"), col("b").cast("array<double>")))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
 }
