@@ -389,24 +389,18 @@ object KgPipeline {
     // so the DuckDB oracle reproduces the probability bit-exactly while the
     // signal genuinely depends on the text content, not the row identity.
     val dim = 8
-    val hvec = transform(
-      split(col("text"), " "),
-      t => (graft.data.Dedup.portableTokenHash(t) % dim).cast("int")
-    )
-    // two-phase projections: hv and e are materialized columns so the
-    // md5-per-token work runs once, not once per downstream reference
-    // (lambda-invariant subexpressions are never hoisted by Catalyst)
-    val e = transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => (size(filter(col("hv"), h => h === i)) + 1).cast("double")
-    )
+    // the whole histogram is ONE native per-row call (HashHistogramExpression,
+    // bit-identical to the transform/filter HOF chain it replaces — that form
+    // dispatched interpreted lambdas per token AND per bucket)
     // driver-constant concept vector: same int arithmetic as the SQL twin,
     // norm precomputed once (see Similarity.cosineToConst)
     val cvec = (0 until dim).map(i => ((i * 5 + 2) % 101).toDouble / 101.0).toArray
     val target = concepts.find(_.wikibaseId == "Q15").getOrElse(concepts.head)
     val emb = turns
-      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"), hvec.as("hv"))
-      .select(col("conv_id"), col("turn_idx"), e.as("e"))
+      .select(
+        col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        graft.extract.HashHistogramExpression.hashHistogram(col("text"), dim).as("e"))
       .select(col("conv_id"), col("turn_idx"), graft.data.Similarity.cosineToConst(col("e"), cvec).as("prob"))
       .where(col("prob") >= threshold)
       .select(
