@@ -39,7 +39,7 @@ case class HashHistogramExpression(child: Expression, dim: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashHistogramExpression.digestTL.get()
     val counts = new Array[Long](dim)
     // limit -1 == Spark StringSplit default: keep trailing empty strings
     text.split(" ", -1).foreach { tok =>
@@ -69,6 +69,11 @@ case class HashHistogramExpression(child: Expression, dim: Int)
 }
 
 object HashHistogramExpression {
+  // one digest per executor thread (same idiom as Identifier8):
+  // MessageDigest.getInstance is a provider lookup + allocation per call
+  private val digestTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def hashHistogram(text: Column, dim: Int): Column =
     GraftColumnBridge.column(HashHistogramExpression(GraftColumnBridge.expression(text), dim))
 }

@@ -114,6 +114,43 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("punct_ratio") == 2.0 / 23) // , !
   }
 
+  test("hash_histogram expression: exact vs the HOF transform/filter chain it replaced") {
+    import org.apache.spark.sql.functions.{col, filter, lit, sequence, size, split, transform}
+    import graft.extract.HashHistogramExpression.hashHistogram
+    val dim = 8
+    val texts = Seq(
+      "the quick brown fox",
+      "double  space and trailing ",
+      "", // empty text -> one empty token
+      " leading",
+      "unicodé tökens ünd emoji 😀 mixed",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val hv = transform(
+      split(col("text"), " "),
+      t => (graft.data.Dedup.portableTokenHash(t) % dim).cast("int"))
+    val hofE = transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => (size(filter(col("hv"), h => h === i)) + 1).cast("double"))
+    val expected = df
+      .select(col("id"), hv.as("hv"))
+      .select(col("id"), hofE.as("e"))
+      .orderBy("id")
+      .collect()
+      .map(r => r.getSeq[Double](1))
+    val got = df
+      .select(col("id"), hashHistogram(col("text"), dim).as("e"))
+      .orderBy("id")
+      .collect()
+      .map(r => r.getSeq[Double](1))
+    assert(got.toSeq == expected.toSeq)
+    // every histogram sums to tokens + dim (the +1 smoothing over dim buckets)
+    texts.zip(got).foreach { case ((_, t), e) =>
+      assert(e.sum == t.split(" ", -1).length + dim)
+    }
+  }
+
   test("dot_product codegen expression: bit-exact vs the HOF fold, null semantics mirrored") {
     import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
     import graft.extract.DotProductExpression.dotProduct
