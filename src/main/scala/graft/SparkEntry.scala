@@ -177,6 +177,18 @@ object SparkEntry {
       val sigs = Dedup.minhashSignatures(d, k = 32).localCheckpoint()
       Dedup.minhashPairs(d, threshold = 0.5, preSigs = Some(sigs)).select("doc_a", "doc_b")
     }),
+    // incremental ingest: the doc_id%5==0 batch deduped against the
+    // persisted signature index of the rest — old x old pairs never
+    // re-derived; result == full-LSH pairs touching the batch
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSigs = Dedup
+        .minhashSignatures(d.where(col("doc_id") % 5 =!= 0), k = 32)
+        .localCheckpoint()
+      val (pairs, _) = Dedup.minhashPairsIncremental(
+        d.where(col("doc_id") % 5 === 0), d, oldSigs, threshold = 0.5)
+      pairs.select("doc_a", "doc_b")
+    }),
     // oracle-checked simhash runs the portable md5-based 60-bit token hash so
     // DuckDB can recompute signatures from scratch; prod default is xxhash64
     "dedup_simhash" -> ((s, dir) => {
@@ -632,6 +644,7 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS representative
         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_minhash" -> graft.data.DedupOracles.minhashSql(0.5),
+    "dedup_minhash_incr" -> graft.data.DedupOracles.minhashIncrementalSql(0.5, 5),
     "dedup_simhash" -> graft.data.DedupOracles.simhashSql(60, 3),
     "dedup_ngram" ->
       """WITH sh AS (

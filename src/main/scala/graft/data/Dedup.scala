@@ -168,6 +168,46 @@ object Dedup {
     verifyJaccard(minhashCandidates(minhashBandBuckets(sigs, bands, rowsPerBand)), docs, threshold)
   }
 
+  /** Incremental LSH — dedup a NEW batch of documents against an existing
+    * persisted signature index without touching the old corpus: the
+    * nightly-ingest shape of corpus dedup at scale. Signature computation is
+    * proportional to the BATCH only; candidates are (new x old) ∪
+    * (new x new) band-bucket matches — old x old pairs are never re-derived
+    * (they were emitted when their batches arrived). Because signatures are
+    * deterministic, the result is EXACTLY the full-corpus LSH pair set
+    * restricted to pairs touching the batch (property-tested), so repeated
+    * incremental ingestion converges to the same dedup state as one big
+    * batch run.
+    *
+    * `allDocs` (old + new) supplies verification text; only candidate docs'
+    * shingles are materialized (verifyJaccard's semi-join prune).
+    * Returns (pairs, batchSigs) — union batchSigs into the persisted index
+    * for the next batch. */
+  def minhashPairsIncremental(
+      newDocs: DataFrame,
+      allDocs: DataFrame,
+      existingSigs: DataFrame,
+      threshold: Double = 0.5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): (DataFrame, DataFrame) = {
+    val batchSigs = minhashSignatures(newDocs, bands * rowsPerBand)
+    val newBuckets = minhashBandBuckets(batchSigs, bands, rowsPerBand)
+    val oldBuckets = minhashBandBuckets(existingSigs, bands, rowsPerBand)
+    // one-sided join: every candidate pair has a NEW member; directionless
+    // (least, greatest) + distinct dedups new x new appearing on both sides
+    val cand = newBuckets
+      .as("x")
+      .join(oldBuckets.unionByName(newBuckets).as("y"), Seq("band", "sig"))
+      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b")
+      )
+      .distinct()
+    (verifyJaccard(cand, allDocs, threshold), batchSigs)
+  }
+
   /** Deterministic 60-bit token hash reproducible in DuckDB SQL: the first
     * 15 hex chars of md5, parsed base-16 (fits a signed long without
     * overflow). Used by the oracle-checked simhash variant — the production

@@ -40,6 +40,16 @@ object DedupOracles {
        |FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) >= $threshold""".stripMargin
 
+  /** Incremental-LSH oracle: the engine result must equal the FULL exact
+    * all-pairs ground truth restricted to pairs touching the batch (docs
+    * with doc_id % batchMod = 0) — because signatures are deterministic,
+    * incremental banding finds exactly the full-run pairs that involve a
+    * new doc. Same corpus-conditional caveat as minhashSql. With
+    * doc_a < doc_b, "touches the batch" is (doc_a % m = 0 OR doc_b % m = 0). */
+  def minhashIncrementalSql(threshold: Double = 0.5, batchMod: Int = 5): String =
+    minhashSql(threshold) +
+      s"\n  AND (doc_a % $batchMod = 0 OR doc_b % $batchMod = 0)"
+
   /** SQL twin of Dedup.portableTokenHash: first 15 hex chars of md5 as a
     * 60-bit integer. */
   val tokenHashExpr: String = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"

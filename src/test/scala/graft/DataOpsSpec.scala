@@ -47,6 +47,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(lsh.forall { case (a, b) => a < b })
   }
 
+  test("incremental minhash == full-run pairs restricted to pairs touching the batch") {
+    val full = Dedup
+      .minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // batch = doc_id % 5 == 0; index covers the rest
+    val oldSigs = Dedup.minhashSignatures(docs.where($"doc_id" % 5 =!= 0), k = 32).localCheckpoint()
+    val (pairsDf, batchSigs) =
+      Dedup.minhashPairsIncremental(docs.where($"doc_id" % 5 === 0), docs, oldSigs, threshold = 0.5)
+    val incr = pairsDf
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(incr == expected, s"incremental=${incr.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "batch should touch at least one planted near-dup pair")
+    // no old x old pair leaks into the incremental result
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+    // the returned batch signatures union with the index to cover the corpus
+    assert(batchSigs.count() + oldSigs.count() == docs.count())
+  }
+
   test("simhash: near-dup pairs have close signatures; planted dups found") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
     assert(pairs.nonEmpty)
