@@ -2,7 +2,6 @@ package graft.extract
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -55,11 +54,6 @@ case class HashHistogramExpression(child: Expression, dim: Int)
       counts((h % dim).toInt) += 1
     }
     new GenericArrayData(counts.map(c => (c + 1).toDouble))
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
