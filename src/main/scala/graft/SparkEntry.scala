@@ -198,6 +198,18 @@ object SparkEntry {
         .simhashPairs(d, maxHamming = 3, nBits = 60, tokenHash = Dedup.portableTokenHash, preSigs = Some(sigs))
         .select("doc_a", "doc_b")
     }),
+    // simhash batch ingest: lossless pigeonhole blocking makes the
+    // incremental == full-restricted equality unconditional
+    "dedup_simhash_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSigs = Dedup
+        .simhash(d.where(col("doc_id") % 5 =!= 0), nBits = 60, tokenHash = Dedup.portableTokenHash)
+        .localCheckpoint()
+      val (pairs, _) = Dedup.simhashPairsIncremental(
+        d.where(col("doc_id") % 5 === 0), oldSigs,
+        maxHamming = 3, nBits = 60, tokenHash = Dedup.portableTokenHash)
+      pairs.select("doc_a", "doc_b")
+    }),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDups(emb(s, dir), nQueries = 200, threshold = 0.4)),
     // scale path: IVF-cell-blocked candidates + exact verify, same oracle as
     // the brute-force baseline (recall 1.0 at nProbe=6/16 on this corpus).
@@ -646,6 +658,7 @@ object SparkEntry {
     "dedup_minhash" -> graft.data.DedupOracles.minhashSql(0.5),
     "dedup_minhash_incr" -> graft.data.DedupOracles.minhashIncrementalSql(0.5, 5),
     "dedup_simhash" -> graft.data.DedupOracles.simhashSql(60, 3),
+    "dedup_simhash_incr" -> graft.data.DedupOracles.simhashIncrementalSql(60, 3, 5),
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id, substr(text, 1, 40) AS block,

@@ -255,6 +255,25 @@ object Dedup {
     // self-join re-executes the token explode + nBits bit-sum aggregation on
     // both sides
     val sigs = preSigs.getOrElse(simhash(docs, nBits, tokenHash))
+    val keyed = simhashChunkKeys(sigs, maxHamming, nBits)
+    keyed
+      .as("x")
+      .join(keyed.as("y"), Seq("chunk", "v"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
+      )
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** (doc_id, simhash) -> one row per signature chunk (chunk index, chunk
+    * value): the pigeonhole blocking key shared by the batch and incremental
+    * pair generators. */
+  private def simhashChunkKeys(sigs: DataFrame, maxHamming: Int, nBits: Int): DataFrame = {
+    val nChunks = maxHamming + 1
     val chunks = (0 until nChunks).map { c =>
       val start = c * nBits / nChunks
       val width = (c + 1) * nBits / nChunks - start
@@ -263,19 +282,43 @@ object Dedup {
       val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("chunk"), shiftright(col("simhash"), start).bitwiseAND(mask).as("v"))
     }
-    val keyed = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+    sigs
+      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
-    val popcount = (x: org.apache.spark.sql.Column) => bit_count(x)
-    keyed
+  }
+
+  /** Incremental SimHash — the batch-ingest twin of `minhashPairsIncremental`
+    * for the Hamming-distance dedup family. New-batch signatures are chunk-
+    * blocked against the persisted (doc_id, simhash) index one-sided, so
+    * old x old pairs are never re-derived and signature computation is
+    * proportional to the batch. Unlike banded MinHash, the pigeonhole
+    * blocking is provably lossless, so incremental == full-run pairs
+    * touching the batch UNCONDITIONALLY (not corpus-conditionally).
+    * Returns (pairs, batchSigs); union batchSigs into the index for the
+    * next batch. */
+  def simhashPairsIncremental(
+      newDocs: DataFrame,
+      existingSigs: DataFrame,
+      maxHamming: Int = 3,
+      nBits: Int = 64,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_)
+  ): (DataFrame, DataFrame) = {
+    val nChunks = maxHamming + 1
+    require(nChunks <= nBits, s"need at least one bit per chunk: maxHamming=$maxHamming, nBits=$nBits")
+    val batchSigs = simhash(newDocs, nBits, tokenHash)
+    val newKeyed = simhashChunkKeys(batchSigs, maxHamming, nBits)
+    val allKeyed = simhashChunkKeys(existingSigs, maxHamming, nBits).unionByName(newKeyed)
+    val pairs = newKeyed
       .as("x")
-      .join(keyed.as("y"), Seq("chunk", "v"))
-      .where(col("x.doc_id") < col("y.doc_id"))
+      .join(allKeyed.as("y"), Seq("chunk", "v"))
+      .where(col("x.doc_id") =!= col("y.doc_id"))
       .select(
-        col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"),
-        popcount(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
       )
       .distinct()
       .where(col("hamming") <= maxHamming)
+    (pairs, batchSigs)
   }
 }

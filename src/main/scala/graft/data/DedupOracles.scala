@@ -83,4 +83,12 @@ object DedupOracles {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE $hammingSum <= $maxHamming""".stripMargin
   }
+
+  /** Incremental-SimHash oracle: full all-pairs ground truth restricted to
+    * pairs touching the batch (doc_id % batchMod = 0). The pigeonhole
+    * blocking is lossless, so equality is expected unconditionally — unlike
+    * the MinHash incremental row, there is no corpus-conditional caveat. */
+  def simhashIncrementalSql(nBits: Int = 60, maxHamming: Int = 3, batchMod: Int = 5): String =
+    simhashSql(nBits, maxHamming) +
+      s"\n  AND (a.doc_id % $batchMod = 0 OR b.doc_id % $batchMod = 0)"
 }

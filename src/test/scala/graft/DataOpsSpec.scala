@@ -72,6 +72,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(batchSigs.count() + oldSigs.count() == docs.count())
   }
 
+  test("incremental simhash == full-run pairs touching the batch (lossless blocking)") {
+    val full = Dedup
+      .simhashPairs(docs, maxHamming = 10)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val oldSigs = Dedup.simhash(docs.where($"doc_id" % 5 =!= 0)).localCheckpoint()
+    val (pairsDf, _) =
+      Dedup.simhashPairsIncremental(docs.where($"doc_id" % 5 === 0), oldSigs, maxHamming = 10)
+    val incr = pairsDf
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(incr == expected, s"incremental=${incr.size} expected=${expected.size}")
+  }
+
   test("simhash: near-dup pairs have close signatures; planted dups found") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
     assert(pairs.nonEmpty)
