@@ -223,6 +223,18 @@ object SparkEntry {
         emb(s, dir), nQueries = 200, threshold = 0.4, nProbe = 6,
         preProbes = Some(probes), preCents = Some(cb))
     }),
+    // embedding batch ingest: vec_id%5==0 vectors probe-assigned against the
+    // shared codebook and joined one-sided vs the persisted probe index
+    "dedup_embedding_incr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = ivfCodebook(s, dir)
+      val oldProbes = Similarity
+        .probeAssign(e.where(col("vec_id") % 5 =!= 0), nProbe = 6, preCents = Some(cb))
+        .localCheckpoint()
+      val (pairs, _) = Similarity.embeddingNearDupsIvfIncremental(
+        e.where(col("vec_id") % 5 === 0), e, oldProbes, cb, threshold = 0.4, nProbe = 6)
+      pairs
+    }),
     // ---- similarity search --------------------------------------------------
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), nQueries = 50, k = 10)),
     // the cell index (assigned) is the persisted ANN index: built once from
@@ -730,6 +742,15 @@ object SparkEntry {
         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 200 AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    // incremental == full exact pair set restricted to pairs touching the
+    // vec_id%5==0 batch (IVF recall 1.0 on this corpus, as for the _ivf row)
+    "dedup_embedding_incr" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+        |  AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

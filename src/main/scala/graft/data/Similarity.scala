@@ -245,6 +245,47 @@ object Similarity {
       .select("doc_a", "doc_b")
   }
 
+  /** Incremental IVF embedding dedup — the batch-ingest twin of the LSH
+    * incremental operators for the embedding modality. New vectors are
+    * probe-assigned against the SAME persisted codebook (assignments are
+    * deterministic, so batch boundaries don't change cell membership) and
+    * joined one-sided against the persisted probe index: old x old pairs
+    * are never re-derived, probe computation is proportional to the batch.
+    * Equality with the full-run pair set restricted to pairs touching the
+    * batch is corpus-conditional like every IVF recall claim (measured 1.0
+    * at the driver parameters). Returns (pairs, batchProbes); union
+    * batchProbes into the index for the next batch. */
+  def embeddingNearDupsIvfIncremental(
+      newEmb: DataFrame,
+      allEmb: DataFrame,
+      existingProbes: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      threshold: Double = 0.4,
+      nProbe: Int = 6
+  ): (DataFrame, DataFrame) = {
+    val batchProbes = probeAssign(newEmb, cents.size, nProbe, Some(cents))
+    val cand = batchProbes
+      .select(col("vec_id").as("id_x"), col("cell"))
+      .join(
+        existingProbes.unionByName(batchProbes).select(col("vec_id").as("id_y"), col("cell")),
+        "cell")
+      .where(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("doc_a"), greatest(col("id_x"), col("id_y")).as("doc_b"))
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
+      .distinct()
+    val vecs = allEmb
+      .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val pairs = cand
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select("doc_a", "doc_b")
+    (pairs, batchProbes)
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded probe set
     * (query_ids) vs the whole corpus — O(queries x corpus) broadcast NLJ,
     * kept as the exact baseline; embeddingNearDupsIvf is the scale path. */

@@ -118,6 +118,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7)
   }
 
+  test("incremental embedding dedup == exact pairs touching the batch (measured-recall corpus)") {
+    val exact = {
+      val n = emb.select($"vec_id", Similarity.norm($"embedding".cast("array<double>")).as("nrm"),
+        $"embedding".cast("array<double>").as("e"))
+      n.as("a")
+        .join(n.as("b"), $"a.vec_id" < $"b.vec_id")
+        .where(Similarity.dot($"a.e", $"b.e") / ($"a.nrm" * $"b.nrm") >= 0.4)
+        .select($"a.vec_id".as("doc_a"), $"b.vec_id".as("doc_b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    }
+    val cb = Similarity.ivfCentroids(emb)
+    val oldProbes = Similarity
+      .probeAssign(emb.where($"vec_id" % 5 =!= 0), nProbe = 6, preCents = Some(cb))
+      .localCheckpoint()
+    val (pairsDf, batchProbes) = Similarity.embeddingNearDupsIvfIncremental(
+      emb.where($"vec_id" % 5 === 0), emb, oldProbes, cb, threshold = 0.4, nProbe = 6)
+    val incr = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(incr == expected, s"incremental=${incr.size} expected=${expected.size}")
+    assert(batchProbes.select("vec_id").distinct().count() == emb.where($"vec_id" % 5 === 0).count())
+  }
+
   test("multimodal: stub decode features consistent with payload") {
     val feats = Multimodal.features(spark, Multimodal.mediaTable(docs)).collect()
     assert(feats.length == docs.count())
