@@ -110,9 +110,33 @@ object DedupBench {
     val (nEasy, recallEasy) = recallOf(9)
     val (nHard, recallHard) = recallOf(8)
 
+    // incremental-ingest leg: the last 10% of ids arrive as a new batch
+    // against the persisted index of the rest — cost should be proportional
+    // to the BATCH (signatures for 10% of docs + a one-sided band join that
+    // streams the index), and the result must equal the full-run pair set
+    // restricted to pairs touching the batch (signatures are deterministic)
+    val batchStart = n - n / 10
+    val batchDocs = n - batchStart
+    val (incrPairs, incrSec) = time {
+      val (p, _) = Dedup.minhashPairsIncremental(
+        docs.where(col("doc_id") >= batchStart),
+        docs,
+        sigs.where(col("doc_id") < batchStart),
+        threshold, bands, rowsPerBand)
+      p.select("doc_a", "doc_b").cache().count()
+    }
+    // with doc_a < doc_b, "touches the batch" is exactly doc_b >= batchStart
+    val expectedIncr = found.where(col("doc_b") >= batchStart)
+    val incrSet = Dedup.minhashPairsIncremental(
+      docs.where(col("doc_id") >= batchStart), docs,
+      sigs.where(col("doc_id") < batchStart), threshold, bands, rowsPerBand
+    )._1.select("doc_a", "doc_b")
+    val incrMatches =
+      incrSet.exceptAll(expectedIncr).isEmpty && expectedIncr.exceptAll(incrSet).isEmpty
+
     val totalSec = sigSec + pairSec
     val json =
-      f"""{"metric":"dedup_lsh_docs_per_sec","n_docs":$n,"bands":$bands,"rows_per_band":$rowsPerBand,"threshold":$threshold,"sig_index_sec":$sigSec%.3f,"pairs_sec":$pairSec%.3f,"total_sec":$totalSec%.3f,"docs_per_sec":${n / totalSec}%.1f,"pairs_found":$nPairs,"planted_easy":$nEasy,"recall_easy":$recallEasy%.4f,"planted_hard":$nHard,"recall_hard":$recallHard%.4f,"expected_hard":0.989}"""
+      f"""{"metric":"dedup_lsh_docs_per_sec","n_docs":$n,"bands":$bands,"rows_per_band":$rowsPerBand,"threshold":$threshold,"sig_index_sec":$sigSec%.3f,"pairs_sec":$pairSec%.3f,"total_sec":$totalSec%.3f,"docs_per_sec":${n / totalSec}%.1f,"pairs_found":$nPairs,"planted_easy":$nEasy,"recall_easy":$recallEasy%.4f,"planted_hard":$nHard,"recall_hard":$recallHard%.4f,"expected_hard":0.989,"incr_batch_docs":$batchDocs,"incr_sec":$incrSec%.3f,"incr_batch_docs_per_sec":${batchDocs / incrSec}%.1f,"incr_pairs":$incrPairs,"incr_matches_full_restricted":$incrMatches}"""
     println(json)
     spark.stop()
   }
