@@ -117,22 +117,20 @@ object DedupBench {
     // restricted to pairs touching the batch (signatures are deterministic)
     val batchStart = n - n / 10
     val batchDocs = n - batchStart
-    val (incrPairs, incrSec) = time {
-      val (p, _) = Dedup.minhashPairsIncremental(
+    val incrDf = Dedup
+      .minhashPairsIncremental(
         docs.where(col("doc_id") >= batchStart),
         docs,
         sigs.where(col("doc_id") < batchStart),
         threshold, bands, rowsPerBand)
-      p.select("doc_a", "doc_b").cache().count()
-    }
+      ._1
+      .select("doc_a", "doc_b")
+      .cache()
+    val (incrPairs, incrSec) = time { incrDf.count() }
     // with doc_a < doc_b, "touches the batch" is exactly doc_b >= batchStart
     val expectedIncr = found.where(col("doc_b") >= batchStart)
-    val incrSet = Dedup.minhashPairsIncremental(
-      docs.where(col("doc_id") >= batchStart), docs,
-      sigs.where(col("doc_id") < batchStart), threshold, bands, rowsPerBand
-    )._1.select("doc_a", "doc_b")
     val incrMatches =
-      incrSet.exceptAll(expectedIncr).isEmpty && expectedIncr.exceptAll(incrSet).isEmpty
+      incrDf.exceptAll(expectedIncr).isEmpty && expectedIncr.exceptAll(incrDf).isEmpty
 
     val totalSec = sigSec + pairSec
     val json =

@@ -191,7 +191,10 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4
   ): (DataFrame, DataFrame) = {
-    val batchSigs = minhashSignatures(newDocs, bands * rowsPerBand)
+    // lazy local checkpoint: the batch-signature subtree feeds BOTH sides of
+    // the one-sided join (x side + the new-vs-new union) — materialize on
+    // first action instead of evaluating the explode + k min-aggs twice
+    val batchSigs = minhashSignatures(newDocs, bands * rowsPerBand).localCheckpoint(false)
     val newBuckets = minhashBandBuckets(batchSigs, bands, rowsPerBand)
     val oldBuckets = minhashBandBuckets(existingSigs, bands, rowsPerBand)
     // one-sided join: every candidate pair has a NEW member; directionless
@@ -305,7 +308,8 @@ object Dedup {
   ): (DataFrame, DataFrame) = {
     val nChunks = maxHamming + 1
     require(nChunks <= nBits, s"need at least one bit per chunk: maxHamming=$maxHamming, nBits=$nBits")
-    val batchSigs = simhash(newDocs, nBits, tokenHash)
+    // lazy local checkpoint — same both-sides reuse as the MinHash twin
+    val batchSigs = simhash(newDocs, nBits, tokenHash).localCheckpoint(false)
     val newKeyed = simhashChunkKeys(batchSigs, maxHamming, nBits)
     val allKeyed = simhashChunkKeys(existingSigs, maxHamming, nBits).unionByName(newKeyed)
     val pairs = newKeyed

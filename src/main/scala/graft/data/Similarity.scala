@@ -263,7 +263,8 @@ object Similarity {
       threshold: Double = 0.4,
       nProbe: Int = 6
   ): (DataFrame, DataFrame) = {
-    val batchProbes = probeAssign(newEmb, cents.size, nProbe, Some(cents))
+    // lazy local checkpoint — the batch probe subtree feeds both join sides
+    val batchProbes = probeAssign(newEmb, cents.size, nProbe, Some(cents)).localCheckpoint(false)
     val cand = batchProbes
       .select(col("vec_id").as("id_x"), col("cell"))
       .join(
