@@ -89,6 +89,10 @@ object SparkEntry {
       KgPipeline.nodes(s, KgPipeline.eligibleTurns(Transcripts.read(s, dir)), KgPipeline.defaultConcepts)),
     "kg_cooccurrence" -> ((s, dir) => KgPipeline.cooccurrence(mentions(s, dir))),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
+    // incremental CC: ~25% of dictionary edges folded into the base
+    // assignment; oracle = the FULL component computation (equality with a
+    // full run is the incremental-correctness statement)
+    "kg_canonical_incr" -> ((s, dir) => KgPipeline.canonicalEntitiesIncremental(s)),
     // array outputs are projected to deterministic strings (the driver's
     // pandas comparator can't hash array cells); arrays are sorted upstream
     "kg_passage_concepts" -> ((s, dir) =>
@@ -657,6 +661,7 @@ object SparkEntry {
     "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
     "kg_canonical" -> OracleGen.canonicalSql,
+    "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,
     "kg_geography" -> OracleGen.geographySql,
     "kg_lineage" -> OracleGen.lineageSql,

@@ -461,4 +461,29 @@ object KgPipeline {
     val edges = (conceptPairs ++ surfacePairs).toDF("src", "dst")
     ConnectedComponents.run(spark, edges)
   }
+
+  /** J7 incremental canonicalization: a deterministic ~25% of the store's
+    * dictionary edges arrive as a BATCH folded into the base assignment via
+    * ConnectedComponents.runIncremental — the concept-store-update shape of
+    * canonicalization at 10^12-edge scale (re-running full CC per store
+    * refresh is the thing this avoids). The driver oracle for this query is
+    * the FULL recursive-CTE component computation: equality with the full
+    * run IS the incremental-correctness statement. */
+  def canonicalEntitiesIncremental(
+      spark: SparkSession,
+      concepts: Vector[Concept] = defaultConcepts
+  ): DataFrame = {
+    import spark.implicits._
+    val ids = concepts.map(_.wikibaseId).toSet
+    val conceptPairs = DemoConceptStore
+      .conceptEdgesOf(concepts)
+      .filter { case (s, _, o) => ids(s) && ids(o) }
+      .map { case (s, _, o) => (s, o) }
+    val surfacePairs = DemoConceptStore.surfaceEdgesOf(concepts).filter { case (_, c) => ids(c) }
+    val all = conceptPairs ++ surfacePairs
+    val (batch, base) =
+      all.partition { case (s, d) => math.floorMod((s + "" + d).hashCode, 4) == 0 }
+    val existing = ConnectedComponents.run(spark, base.toDF("src", "dst"))
+    ConnectedComponents.runIncremental(spark, existing, batch.toDF("src", "dst"))
+  }
 }

@@ -64,4 +64,32 @@ class CcSpec extends AnyFunSuite {
     val hub = (0 until 500).map(i => (s"surface:$i", "Q1")) ++ Seq(("Q1", "Q2"), ("x", "y"))
     runBoth(hub)
   }
+
+  test("incremental CC == full CC: batch merges components, adds nodes, no-ops") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 300).map { _ =>
+      val cluster = rng.nextInt(10)
+      (s"c$cluster-${rng.nextInt(25)}", s"c$cluster-${rng.nextInt(25)}")
+    }.filter(e => e._1 != e._2)
+    // the batch exercises all three shapes: a cross-cluster MERGE edge, a
+    // brand-new component, an edge internal to an existing component (no-op),
+    // plus random edges that may attach new nodes to old components
+    val batch = Seq(
+      ("c0-0", "c1-0"),              // merges two existing components
+      ("fresh-a", "fresh-b"),        // entirely new component
+      ("c2-1", "c2-2"),              // likely internal no-op
+      ("new-node", "c3-0")           // new node attaching to an old component
+    ) ++ (0 until 60).map { _ =>
+      val cluster = rng.nextInt(12)  // clusters 10/11 don't exist in base
+      (s"c$cluster-${rng.nextInt(28)}", s"c$cluster-${rng.nextInt(28)}")
+    }.filter(e => e._1 != e._2)
+    val want = unionFind(base ++ batch)
+    val existing = ConnectedComponents.run(spark, base.toDF("src", "dst"))
+    val got = ConnectedComponents
+      .runIncremental(spark, existing, batch.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(got.length == got.map(_._1).distinct.length, "one row per node")
+    assert(got.toMap == want)
+  }
 }
