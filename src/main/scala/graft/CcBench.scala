@@ -80,8 +80,39 @@ object CcBench {
       s"expected ${n / BlockSize} per-block components, got $nComponents"
     )
 
+    // ---- incremental leg: a batch folds into the existing assignment ------
+    // shapes: every 20th block-pair MERGED by one edge (known component-count
+    // delta), 1000 new nodes attached to the hub component (no delta), one
+    // brand-new two-node component (+1). Cost should be O(batch), not
+    // O(nEdges) — the contracted delta graph has ~nBlocks/20 + 1001 edges.
+    def nid2(c: org.apache.spark.sql.Column) = concat(lit("n"), c.cast("string"))
+    val nBlocks = n / BlockSize
+    val mergers = spark
+      .range(nBlocks)
+      .where(col("id") % 20 === 0 && col("id") + 1 < nBlocks)
+      .select(nid2(col("id") * BlockSize).as("src"), nid2((col("id") + 1) * BlockSize).as("dst"))
+    val nMerge = mergers.count()
+    val attach = spark
+      .range(1000)
+      .select(concat(lit("new"), col("id").cast("string")).as("src"), lit("n0").as("dst"))
+    val fresh = spark.range(1).select(lit("fresh-a").as("src"), lit("fresh-b").as("dst"))
+    val batch = mergers.union(attach).union(fresh)
+    val (incr, incrSec) = Bench.time {
+      val c = ConnectedComponents.runIncremental(spark, components, batch).localCheckpoint()
+      c.count()
+      c
+    }
+    val nComponentsIncr = incr.select("component").distinct().count()
+    require(
+      nComponentsIncr == nComponents - nMerge + 1,
+      s"expected ${nComponents - nMerge + 1} components after batch, got $nComponentsIncr"
+    )
+    val i2 = incr.select(col("node").as("component"), col("component").as("root"))
+    val brokenIncr = incr.join(i2, Seq("component")).where(col("root") =!= col("component")).count()
+    require(brokenIncr == 0, s"$brokenIncr incremental nodes point at non-root components")
+
     val json =
-      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true}"""
+      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true,"incr_batch_edges":${nMerge + 1001},"incr_sec":$incrSec%.3f,"incr_components":$nComponentsIncr,"incr_structure_ok":true}"""
     println(json)
     spark.stop()
   }
