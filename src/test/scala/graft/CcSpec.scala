@@ -92,4 +92,23 @@ class CcSpec extends AnyFunSuite {
     assert(got.length == got.map(_._1).distinct.length, "one row per node")
     assert(got.toMap == want)
   }
+
+  test("incremental CC property: random base/batch splits match union-find") {
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val edges = (0 until 250).map { _ =>
+        val cluster = rng.nextInt(8)
+        (s"s$seed-c$cluster-${rng.nextInt(20)}", s"s$seed-c$cluster-${rng.nextInt(20)}")
+      }.filter(e => e._1 != e._2)
+      val (batch, base) = edges.partition(_ => rng.nextInt(4) == 0)
+      val want = unionFind(edges)
+      val existing = ConnectedComponents.run(spark, base.toDF("src", "dst"))
+      val got = ConnectedComponents
+        .runIncremental(spark, existing, batch.toDF("src", "dst"))
+        .collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .toMap
+      assert(got == want, s"seed $seed: incremental != full union-find")
+    }
+  }
 }
