@@ -68,6 +68,9 @@ object SparkEntry {
     "kg_mentions" -> ((s, dir) => mentions(s, dir)), // span grain vs executed-reference fixture
     "kg_mention_counts" -> ((s, dir) => KgPipeline.mentionCounts(mentions(s, dir))),
     "kg_vespa_concepts" -> ((s, dir) => KgPipeline.vespaConcepts(s, mentions(s, dir))),
+    // span grain WITH labellers + timestamps: A4 first-seen merge across two
+    // labelling passes + the Vespa max-timestamp sink rule (epoch longs)
+    "kg_vespa_concepts_ts" -> ((s, dir) => KgPipeline.vespaConceptsTs(s, mentions(s, dir))),
     "kg_concept_counts" -> ((s, dir) => KgPipeline.conceptCounts(s, mentions(s, dir))),
     // the reference's keyed-map contract, stringified via map_entries (the
     // map is built in sorted-key order, so serialization is deterministic)
@@ -655,6 +658,7 @@ object SparkEntry {
     "swap_mention_counts" -> OracleGen.mentionCountsSqlFor(DemoConceptStore.swappedConcepts),
     "swap_canonical" -> OracleGen.canonicalSqlFor(DemoConceptStore.swappedConcepts),
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
+    "kg_vespa_concepts_ts" -> OracleGen.vespaConceptsTsSql,
     "kg_concept_counts" -> OracleGen.conceptCountsSql,
     "kg_concept_counts_map" -> OracleGen.conceptCountsMapSql,
     "kg_triples" -> OracleGen.triplesSql,

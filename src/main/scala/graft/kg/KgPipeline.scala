@@ -138,6 +138,77 @@ object KgPipeline {
       .select("conv_id", "turn_idx", "concept_id", "name", "parent_concept_ids_flat", "model", "n_mentions")
   }
 
+  /** Deterministic labelling-run base epochs for the two classifier passes of
+    * the labeller/timestamp drill. The reference stamps each span with
+    * `datetime.now()` at labelling time (span.py:93-99) — non-reproducible by
+    * construction — so the engine models the same field family with a
+    * deterministic per-run epoch plus a per-span offset; the MERGE (first-seen
+    * labeller union, span.py:148-180) and SINK (`timestamp =
+    * max(span.timestamps)`, flows/aggregate.py:726-750) semantics are
+    * identical either way. */
+  val Pass1Epoch = 1700000000L
+  val Pass2Epoch = 1700007200L
+
+  /** The concepts the secondary labelling pass covers: even-numbered Q-ids —
+    * a deterministic proper subset so merged (two-labeller) and unmerged
+    * (one-labeller) spans both occur. */
+  def secondPassIds(concepts: Vector[Concept]): Vector[String] =
+    concepts.map(_.wikibaseId).filter(id => id.matches("Q\\d+") && id.drop(1).toLong % 2 == 0).sorted
+
+  /** Span-grain Vespa concepts CARRYING labellers + timestamps — the A4 merge
+    * rules and the Vespa max-timestamp contract at the distributed grain.
+    *
+    * Two labelling passes annotate the mention layer: the primary keyword
+    * classifier labels every span; a secondary pass labels the spans of
+    * `secondPassIds` concepts. Because per-concept keyword matching is
+    * independent (C1 is per-concept in the reference; the trie only fuses
+    * evaluation), the secondary pass's spans are BY CONSTRUCTION the
+    * concept-restricted subset of the primary pass's — so it is computed as a
+    * filter rather than a second extraction scan. Spans identical in
+    * (start, end, concept) across passes merge per span.py:148-180: labellers
+    * in first-seen (pass) order, timestamps unioned; the sink row then takes
+    * `timestamp = max(timestamps)` per flows/aggregate.py:746-748.
+    *
+    * One hash aggregation on the natural span key + a broadcast dim join —
+    * no extra shuffle vs the count-grain path at any scale. */
+  def vespaConceptsTs(spark: SparkSession, m: DataFrame, concepts: Vector[Concept] = defaultConcepts): DataFrame = {
+    import spark.implicits._
+    val base = m.select(col("conv_id"), col("turn_idx"), col("start"), col("end"), col("concept_id"))
+    val p1 = base.select(
+      col("*"),
+      lit(1).as("pass_rank"),
+      lit("KeywordClassifier:v1").as("labeller"),
+      (lit(Pass1Epoch) + (col("start") * 7 + col("end") * 3) % 3600).cast("long").as("ts_epoch")
+    )
+    val p2 = base
+      .where(col("concept_id").isin(secondPassIds(concepts): _*))
+      .select(
+        col("*"),
+        lit(2).as("pass_rank"),
+        lit("KeywordClassifier:v2").as("labeller"),
+        (lit(Pass2Epoch) + (col("start") * 5 + col("end")) % 3600).cast("long").as("ts_epoch")
+      )
+    val dim = concepts
+      .map(c => (c.wikibaseId, c.preferredLabel, DemoConceptStore.modelString(c)))
+      .toDF("concept_id", "name", "model")
+    p1.unionByName(p2)
+      .groupBy("conv_id", "turn_idx", "start", "end", "concept_id")
+      .agg(
+        // first-seen labeller order == ascending pass rank (each pass carries
+        // one labeller per span, so no distinct is needed on either engine)
+        concat_ws(
+          ",",
+          transform(sort_array(collect_list(struct(col("pass_rank"), col("labeller")))), x => x.getField("labeller"))
+        ).as("labellers_str"),
+        count(lit(1)).cast("int").as("n_labellers"),
+        max(col("ts_epoch")).as("ts_epoch")
+      )
+      .join(broadcast(dim), Seq("concept_id"))
+      .select(
+        "conv_id", "turn_idx", "start", "end", "concept_id",
+        "name", "model", "labellers_str", "n_labellers", "ts_epoch")
+  }
+
   /** G3 concept counts per document: key "{wikibase_id}:{name}" -> count
     * (flows/index.py:632-637). */
   def conceptCounts(spark: SparkSession, m: DataFrame, concepts: Vector[Concept] = defaultConcepts): DataFrame = {

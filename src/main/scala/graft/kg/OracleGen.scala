@@ -100,6 +100,41 @@ object OracleGen {
        |WHERE p.n_mentions > 0""".stripMargin
   }
 
+  /** Span-grain labeller/timestamp oracle: re-derives the two labelling
+    * passes, the first-seen labeller merge and the max-timestamp sink rule
+    * from the executed-reference span fixture (legitimate as `kg_mentions`
+    * proves engine==fixture byte-exactly). */
+  def vespaConceptsTsSql: String = {
+    val ids = KgPipeline.secondPassIds(concepts).map(i => s"'$i'").mkString(", ")
+    val dims = concepts
+      .map(c => s"('${c.wikibaseId}', '${sq(c.preferredLabel)}', '${sq(DemoConceptStore.modelString(c))}')")
+      .mkString(",\n    ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |passes AS (
+       |  SELECT conv_id, turn_idx, start, "end", concept_id, 1 AS pass_rank,
+       |         'KeywordClassifier:v1' AS labeller,
+       |         CAST(${KgPipeline.Pass1Epoch} + (start*7 + "end"*3) % 3600 AS BIGINT) AS ts_epoch
+       |  FROM ref_mentions
+       |  UNION ALL
+       |  SELECT conv_id, turn_idx, start, "end", concept_id, 2,
+       |         'KeywordClassifier:v2',
+       |         CAST(${KgPipeline.Pass2Epoch} + (start*5 + "end") % 3600 AS BIGINT)
+       |  FROM ref_mentions WHERE concept_id IN ($ids)),
+       |merged AS (
+       |  SELECT conv_id, turn_idx, start, "end", concept_id,
+       |         array_to_string(list(labeller ORDER BY pass_rank), ',') AS labellers_str,
+       |         CAST(COUNT(*) AS INT) AS n_labellers,
+       |         MAX(ts_epoch) AS ts_epoch
+       |  FROM passes GROUP BY 1, 2, 3, 4, 5),
+       |dim(concept_id, name, model) AS (SELECT * FROM (VALUES
+       |    $dims))
+       |SELECT m.conv_id, m.turn_idx, m.start, m."end", m.concept_id, d.name, d.model,
+       |       m.labellers_str, m.n_labellers, m.ts_epoch
+       |FROM merged m JOIN dim d ON m.concept_id = d.concept_id""".stripMargin
+  }
+
   val conceptCountsSql: String = {
     val names = concepts.map(c => s"('${c.wikibaseId}', '${sq(c.preferredLabel)}')").mkString(", ")
     s"""WITH $transcriptsCte,
