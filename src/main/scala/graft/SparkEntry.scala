@@ -438,6 +438,20 @@ object SparkEntry {
       graft.extract.ModelClassifiers
         .predictSequence(s, passages, new graft.extract.ModelClassifiers.StubSequenceScorer, "Q1651")
     }),
+    // C3 with REAL learned weights behind the same seam: hashed-BoW logistic
+    // model (trained offline, 81% acc approximating a non-linear target
+    // rule), integer-exact logits, fixture-joined oracle like text_cdc
+    "c3_targets_real" -> ((s, dir) => {
+      // en only: the classifier runs on english passages (F5 semantics), and
+      // the trainer's fixture universe is the en corpus
+      val passages = docs(s, dir)
+        .where(col("lang") === "en")
+        .select(col("doc_id").cast("long").as("passage_id"), col("text"))
+      graft.extract.ModelClassifiers
+        .predictSequence(s, passages, new graft.extract.ModelClassifiers.LogisticSequenceScorer, "Q1651")
+        .withColumn("probability_r", floor(col("probability") * 1e6 + lit(0.5)) / lit(1e6))
+        .drop("probability")
+    }),
     "c4_token_spans" -> ((s, dir) => {
       val passages = docs(s, dir).select(col("doc_id").cast("long").as("passage_id"), col("text"))
       val scorer = new graft.extract.ModelClassifiers.StubTokenScorer(
@@ -655,6 +669,17 @@ object SparkEntry {
         |WHERE seeded AND send - sstart >= 2
         |  AND list_reduce(list_transform(probs, x -> CAST(x AS DOUBLE) / 1000.0), (a, b) -> a + b)
         |        / len(probs) >= 0.7""".stripMargin,
+    // C3 real-weights: the model's kept set + quantized probabilities were
+    // emitted by the OFFLINE TRAINER (integer logits shared bit-for-bit with
+    // the JVM scorer) over all-sf texts — trained on sf0.1 only, so smaller
+    // sfs are held-out texts
+    "c3_targets_real" ->
+      s"""SELECT d.doc_id AS passage_id, 0 AS "start", CAST(length(d.text) AS INT) AS "end",
+        |       'Q1651' AS concept_id, f.probability_r
+        |FROM documents d
+        |JOIN read_parquet('${OracleGen.repoRoot}/src/test/resources/ref_c3_real.parquet') f
+        |  ON md5(d.text) = f.text_md5
+        |WHERE d.lang = 'en'""".stripMargin,
     "swap_mention_counts" -> OracleGen.mentionCountsSqlFor(DemoConceptStore.swappedConcepts),
     "swap_canonical" -> OracleGen.canonicalSqlFor(DemoConceptStore.swappedConcepts),
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,

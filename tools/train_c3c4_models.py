@@ -1,0 +1,287 @@
+#!/usr/bin/env python3
+"""Dev-only: train the REAL-WEIGHTS models behind the C3/C4 scorer seam.
+
+Trains two small models in pure numpy (no transformer runtime exists in this
+sandbox, and none resolves offline — these are genuine learned weights that a
+pure-JVM scorer can execute exactly):
+
+  C3 (sequence): hashed bag-of-words logistic regression predicting whether a
+      passage mentions a relational-operator term. Features: counts over
+      D=1024 buckets of portable-md5(lower(token)); label: the deterministic
+      target rule. Weights are quantized to integers (scale 2^16) so the JVM
+      logit  z_int = sum(w_int[bucket]*count) + b_int  is EXACT integer
+      arithmetic on both sides; probability = sigmoid(z_int / 2^16).
+
+  C4 (token): 3-class (O/B/I) linear token classifier over two-hot features
+      [current-token bucket | D + previous-token bucket] + class bias,
+      softmax-trained on the trigger/continuation BIO rule. Integer-quantized
+      class scores make the argmax label EXACTLY reproducible in the JVM
+      (ties break to the lowest class id).
+
+Outputs:
+  src/main/resources/graft/c3_weights.txt      (dim/scale/bias + D ints)
+  src/main/resources/graft/c4_weights.txt      (dim/scale + 3 biases + 3x2D ints)
+  src/test/resources/ref_c3_real.parquet       fixture: kept rows (text_md5,
+      z_int, probability_r) over ALL distinct en texts of the three sf dirs —
+      TRAINED only on sf0.1, so sf0.001/sf0.01 rows are held-out texts.
+  src/test/resources/ref_c4_tokens.parquet     fixture: per-token (text_md5,
+      pos, label, prob_r, start, end) for 40 sf0.1 texts, for JVM parity.
+
+Emitted probabilities are quantized floor(p*1e6+0.5)/1e6 on both sides; all
+threshold decisions happen on probabilities derived from exactly-shared
+integer logits.
+"""
+import hashlib
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+D = 1024
+SCALE = 65536
+SEQ_THRESHOLD = 0.524  # targets.py:40
+TARGETS = {"scan", "join", "sort", "merge", "window"}
+TRIGGERS = {"scan", "join", "sort", "merge", "window"}
+CONTINUATIONS = {"table", "batch", "stream", "group", "data", "fast"}
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+TRAIN_DIR = "/root/testdata/sf0.1"
+RES = "/root/repo/src/main/resources/graft"
+FIX = "/root/repo/src/test/resources"
+
+rng = np.random.default_rng(42)
+
+
+def phash(tok: str) -> int:
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def bucket(tok: str) -> int:
+    return phash(tok.lower()) % D
+
+
+def texts_of(d):
+    con = duckdb.connect()
+    return [r[0] for r in con.execute(
+        f"SELECT DISTINCT text FROM read_parquet('{d}/documents.parquet') WHERE lang='en' ORDER BY text"
+    ).fetchall()]
+
+
+def all_texts():
+    con = duckdb.connect()
+    parts = " UNION ".join(
+        f"SELECT DISTINCT text FROM read_parquet('{d}/documents.parquet') WHERE lang='en'" for d in SF_DIRS)
+    ts = [r[0] for r in con.execute(parts).fetchall()]
+    ts.sort()
+    return ts
+
+
+# ---------------------------------------------------------------- C3 sequence
+def c3_features(text):
+    x = np.zeros(D)
+    for tok in text.split(" "):
+        x[bucket(tok)] += 1.0
+    return x
+
+
+def c3_label(text):
+    """Positive iff the passage mentions ALL five distinct operator terms —
+    balanced (~41% positive on sf0.1) and NOT linearly expressible over BoW
+    counts, so the trained model is a genuine approximation with honest
+    error, not a re-derived keyword rule."""
+    seen = {t.lower() for t in text.split(" ")} & TARGETS
+    return 1.0 if len(seen) == len(TARGETS) else 0.0
+
+
+def train_c3(train_texts):
+    X = np.stack([c3_features(t) for t in train_texts])
+    y = np.array([c3_label(t) for t in train_texts])
+    w = np.zeros(D)
+    b = 0.0
+    lr = 0.1
+    n = len(y)
+    for it in range(800):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + 1e-4 * w)
+        b -= lr * g.mean()
+    acc = ((1.0 / (1.0 + np.exp(-(X @ w + b))) >= 0.5) == (y == 1)).mean()
+    print(f"C3 train acc={acc:.4f}  pos_rate={y.mean():.3f}")
+    w_int = np.round(w * SCALE).astype(np.int64)
+    b_int = int(round(b * SCALE))
+    return w_int, b_int
+
+
+def c3_fixture(w_int, b_int, texts):
+    rows = {"text_md5": [], "z_int": [], "probability_r": []}
+    kept = 0
+    for t in texts:
+        z_int = b_int
+        for tok in t.split(" "):
+            z_int += int(w_int[bucket(tok)])
+        z = z_int / SCALE
+        p = 1.0 / (1.0 + np.exp(-z))
+        if p >= SEQ_THRESHOLD:
+            kept += 1
+            rows["text_md5"].append(hashlib.md5(t.encode()).hexdigest())
+            rows["z_int"].append(z_int)
+            rows["probability_r"].append(np.floor(p * 1e6 + 0.5) / 1e6)
+    print(f"C3 fixture: {kept}/{len(texts)} texts kept at threshold {SEQ_THRESHOLD}")
+    pq.write_table(pa.table(rows), f"{FIX}/ref_c3_real.parquet")
+    # held-out agreement vs the rule (generalization evidence)
+    agree = ok = 0
+    for t in texts:
+        z = (b_int + sum(int(w_int[bucket(tok)]) for tok in t.split(" "))) / SCALE
+        pred = 1.0 / (1.0 + np.exp(-z)) >= SEQ_THRESHOLD
+        agree += 1
+        ok += int(pred == (c3_label(t) == 1.0))
+    print(f"C3 all-sf rule agreement: {ok}/{agree} = {ok/agree:.4f}")
+
+
+# ------------------------------------------------------------------- C4 token
+def tokenize(text):
+    """Whitespace tokens with char offsets, mirroring StubTokenScorer (the
+    leading (0,0) special token is added by the scorer, not here)."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == " ":
+            i += 1
+        else:
+            j = i
+            while j < n and text[j] != " ":
+                j += 1
+            out.append((text[i:j], i, j))
+            i = j
+    return out
+
+
+def bio_labels(toks):
+    labels = []
+    prev = 0
+    for tok, _, _ in toks:
+        lo = tok.lower()
+        if lo in TRIGGERS:
+            lab = 1
+        elif lo in CONTINUATIONS and prev != 0:
+            lab = 2
+        else:
+            lab = 0
+        labels.append(lab)
+        prev = lab
+    return labels
+
+
+BOS = phash("") % D  # previous-token bucket for the first token
+
+
+def c4_rows(text):
+    toks = tokenize(text)
+    labs = bio_labels(toks)
+    rows = []
+    prev_b = BOS
+    for (tok, s, e), lab in zip(toks, labs):
+        cur_b = bucket(tok)
+        rows.append((cur_b, prev_b, lab, s, e))
+        prev_b = cur_b
+    return rows
+
+
+def train_c4(train_texts):
+    feats = []
+    for t in train_texts:
+        feats.extend(c4_rows(t))
+    cur = np.array([f[0] for f in feats])
+    prv = np.array([f[1] for f in feats])
+    y = np.array([f[2] for f in feats])
+    n = len(y)
+    W = np.zeros((3, 2 * D))
+    B = np.zeros(3)
+    lr = 0.5
+    idx = np.arange(n)
+    onehot = np.zeros((n, 3))
+    onehot[idx, y] = 1.0
+    for it in range(600):
+        Z = W[:, cur].T + W[:, D + prv].T + B  # (n, 3)
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        G = (P - onehot) / n  # (n, 3)
+        gW = np.zeros_like(W)
+        for c in range(3):
+            gW[c] += np.bincount(cur, weights=G[:, c], minlength=2 * D)[: 2 * D]
+            gW[c, D:] += np.bincount(prv, weights=G[:, c], minlength=D)
+        W -= lr * (gW + 1e-5 * W)
+        B -= lr * G.sum(axis=0)
+    Z = W[:, cur].T + W[:, D + prv].T + B
+    acc = (Z.argmax(axis=1) == y).mean()
+    print(f"C4 train acc={acc:.4f}  label dist={np.bincount(y)/n}")
+    W_int = np.round(W * SCALE).astype(np.int64)
+    B_int = np.round(B * SCALE).astype(np.int64)
+    return W_int, B_int
+
+
+def c4_predict(W_int, B_int, text):
+    """Integer argmax + float softmax of the predicted class, the exact
+    contract the JVM scorer reproduces."""
+    out = []
+    for cur_b, prev_b, _, s, e in c4_rows(text):
+        zs = [int(W_int[c, cur_b]) + int(W_int[c, D + prev_b]) + int(B_int[c]) for c in range(3)]
+        lab = int(np.argmax(zs))  # ties -> lowest index (np.argmax contract)
+        zf = np.array(zs, dtype=np.float64) / SCALE
+        zf -= zf.max()
+        p = float(np.exp(zf[lab]) / np.exp(zf).sum())
+        out.append((lab, p, s, e))
+    return out
+
+
+def c4_fixture(W_int, B_int, texts):
+    rows = {"text_md5": [], "pos": [], "label": [], "prob_r": [], "start": [], "end": []}
+    for t in texts:
+        md5 = hashlib.md5(t.encode()).hexdigest()
+        for pos, (lab, p, s, e) in enumerate(c4_predict(W_int, B_int, t)):
+            rows["text_md5"].append(md5)
+            rows["pos"].append(pos)
+            rows["label"].append(lab)
+            rows["prob_r"].append(np.floor(p * 1e6 + 0.5) / 1e6)
+            rows["start"].append(s)
+            rows["end"].append(e)
+    pq.write_table(pa.table(rows), f"{FIX}/ref_c4_tokens.parquet")
+    print(f"C4 fixture: {len(rows['pos'])} token rows over {len(texts)} texts")
+
+
+def main():
+    train = texts_of(TRAIN_DIR)
+    everything = all_texts()
+    print(f"train texts: {len(train)}, all-sf texts: {len(everything)}")
+
+    w_int, b_int = train_c3(train)
+    with open(f"{RES}/c3_weights.txt", "w") as f:
+        f.write(f"dim={D} scale={SCALE} bias={b_int}\n")
+        f.write(" ".join(str(int(v)) for v in w_int) + "\n")
+    c3_fixture(w_int, b_int, everything)
+
+    W_int, B_int = train_c4(train)
+    with open(f"{RES}/c4_weights.txt", "w") as f:
+        f.write(f"dim={D} scale={SCALE}\n")
+        f.write(" ".join(str(int(v)) for v in B_int) + "\n")
+        for c in range(3):
+            f.write(" ".join(str(int(v)) for v in W_int[c]) + "\n")
+    # 40 deterministic held-in + held-out texts for the JVM parity spec
+    fixture_texts = everything[:: max(1, len(everything) // 40)][:40]
+    c4_fixture(W_int, B_int, fixture_texts)
+
+    # C4 rule agreement on ALL texts (generalization evidence)
+    tot = ok = 0
+    for t in everything:
+        gold = [r[2] for r in c4_rows(t)]
+        pred = [p[0] for p in c4_predict(W_int, B_int, t)]
+        tot += len(gold)
+        ok += sum(int(a == b) for a, b in zip(gold, pred))
+    print(f"C4 all-sf token agreement: {ok}/{tot} = {ok/tot:.4f}")
+
+
+if __name__ == "__main__":
+    main()
