@@ -461,6 +461,21 @@ object SparkEntry {
       graft.extract.ModelClassifiers
         .predictTokenSpans(s, passages, scorer, "Q99", threshold = Some(0.7))
     }),
+    // ---- C5: LLM span emission + fuzzy alignment at the distributed grain ---
+    // a deterministic annotation simulator (LlmSim.buildXml) perturbs each
+    // text the way a paraphrasing LLM does; the engine aligns the <concept>
+    // groups back into the original text (exact-at-offset, exact-in-window,
+    // fuzzy-ratio and unalignable-drop branches all fire on this corpus);
+    // oracle = the EXECUTED reference Span.from_xml over the same pairs
+    "c5_xml_spans" -> ((s, dir) =>
+      docs(s, dir)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), explode(graft.extract.LlmXml.llmXmlSpans(col("text"), "Q42")).as("sp"))
+        .select(
+          col("doc_id"),
+          col("sp.start").as("start"),
+          col("sp.end").as("end"),
+          col("sp.surface").as("surface"))),
     // ---- S10 dynamism: concept-store swap drill ------------------------------
     // the same pipeline + oracle machinery rebuilt from swappedConcepts (a
     // wikibase-style update batch: Q90 added, Q17 deleted, Q80 redirected
@@ -678,6 +693,12 @@ object SparkEntry {
         |       'Q1651' AS concept_id, f.probability_r
         |FROM documents d
         |JOIN read_parquet('${OracleGen.repoRoot}/src/test/resources/ref_c3_real.parquet') f
+        |  ON md5(d.text) = f.text_md5
+        |WHERE d.lang = 'en'""".stripMargin,
+    "c5_xml_spans" ->
+      s"""SELECT d.doc_id, f.start, f."end", f.surface
+        |FROM documents d
+        |JOIN read_parquet('${OracleGen.repoRoot}/src/test/resources/ref_c5_spans.parquet') f
         |  ON md5(d.text) = f.text_md5
         |WHERE d.lang = 'en'""".stripMargin,
     "swap_mention_counts" -> OracleGen.mentionCountsSqlFor(DemoConceptStore.swappedConcepts),
