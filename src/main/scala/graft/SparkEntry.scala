@@ -565,6 +565,14 @@ object SparkEntry {
     "eval_pr_passage" -> ((s, dir) => {
       val (gold, pred) = evalGoldPred(s, dir)
       graft.eval.Metrics.passageLevelDF(gold, pred)
+    }),
+    // G6 × G8: the same sweep stratified by source (equity-group metrics,
+    // operations/evaluate.py:109-171) — one extra groupBy key on the same join
+    "eval_pr_strata" -> ((s, dir) => {
+      val (gold, pred) = evalGoldPred(s, dir)
+      graft.eval.Metrics.spanLevelSweepBy(
+        gold, pred, Seq(0, 50, 90, 99),
+        split(col("passage_id"), "\\.").getItem(0).as("stratum"))
     })
   )
 
@@ -613,6 +621,7 @@ object SparkEntry {
     "kg_mentions" -> OracleGen.mentionsSql,
     "eval_pr" -> OracleGen.evalPrSql,
     "eval_pr_passage" -> OracleGen.evalPrPassageSql,
+    "eval_pr_strata" -> OracleGen.evalPrStrataSql,
     "kg_consolidate" -> OracleGen.consolidateSql,
     "kg_passage_concepts" -> OracleGen.passageConceptsSql,
     "kg_spans_v2" -> OracleGen.spansV2Sql,

@@ -151,8 +151,24 @@ object Metrics {
     * at 100 TB a 4-threshold sweep costs the same join as one threshold).
     * Inputs as spanLevelDF; thresholds given as integer percents so the
     * output stays float-free: (threshold_pct, tp, fp, tn, fn). */
-  def spanLevelSweep(gold: DataFrame, predicted: DataFrame, thresholdsPct: Seq[Int]): DataFrame = {
-    val j = joined(gold, predicted)
+  def spanLevelSweep(gold: DataFrame, predicted: DataFrame, thresholdsPct: Seq[Int]): DataFrame =
+    sweepCore(joined(gold, predicted), thresholdsPct, groupCols = Nil)
+
+  /** G6 × G8 composition: the same one-join threshold sweep, stratified by an
+    * equity-group column derived from the passage id (operations/evaluate.py
+    * computes metrics per group, :109-171/:200-254). The stratum is one extra
+    * groupBy key on the SAME join — a per-group sweep costs the same shuffle
+    * as the global one at any scale. Output: (stratum, threshold_pct, tp,
+    * fp, tn, fn). */
+  def spanLevelSweepBy(
+      gold: DataFrame,
+      predicted: DataFrame,
+      thresholdsPct: Seq[Int],
+      stratum: Column
+  ): DataFrame =
+    sweepCore(joined(gold, predicted).withColumn("stratum", stratum), thresholdsPct, groupCols = Seq("stratum"))
+
+  private def sweepCore(j: DataFrame, thresholdsPct: Seq[Int], groupCols: Seq[String]): DataFrame = {
     val perRow = thresholdsPct.flatMap { pct =>
       val t = lit(pct / 100.0)
       Seq(
@@ -165,10 +181,13 @@ object Metrics {
     val sums = thresholdsPct.flatMap(pct =>
       Seq(sum(s"tp_$pct").as(s"tp_$pct"), sum(s"fn_$pct").as(s"fn_$pct"), sum(s"fp_$pct").as(s"fp_$pct"))
     ) :+ sum("tn").as("tn")
-    val one = j.select(perRow: _*).agg(sums.head, sums.tail: _*)
+    val projected = j.select(groupCols.map(col) ++ perRow: _*)
+    val one =
+      if (groupCols.isEmpty) projected.agg(sums.head, sums.tail: _*)
+      else projected.groupBy(groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
 
     one
-      .select(explode(array(thresholdsPct.map { pct =>
+      .select(groupCols.map(col) :+ explode(array(thresholdsPct.map { pct =>
         struct(
           lit(pct).as("threshold_pct"),
           col(s"tp_$pct").as("tp"),
@@ -176,7 +195,7 @@ object Metrics {
           col("tn").as("tn"),
           col(s"fn_$pct").as("fn")
         )
-      }: _*)).as("r"))
-      .select(col("r.threshold_pct"), col("r.tp"), col("r.fp"), col("r.tn"), col("r.fn"))
+      }: _*)).as("r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("r.threshold_pct"), col("r.tp"), col("r.fp"), col("r.tn"), col("r.fn")): _*)
   }
 }

@@ -391,6 +391,61 @@ object OracleGen {
        |SELECT cg.threshold_pct, cg.tp, cp.fp, tn_c.tn, cg.fn
        |FROM counts_g cg JOIN counts_p cp USING (threshold_pct) CROSS JOIN tn_c""".stripMargin
 
+  /** G6 × G8: the span-level sweep stratified by source (the conv_id prefix)
+    * — same independent max-jaccard strategy as evalPrSql, with every count
+    * grouped by stratum. */
+  val evalPrStrataSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |$refMentionsCte,
+       |gold AS (SELECT conv_id, turn_idx, start, "end", span_id FROM ref_mentions WHERE turn_idx % 6 NOT IN (1, 2)),
+       |pred AS (
+       |  SELECT conv_id, turn_idx, start,
+       |         CASE WHEN (start + "end") % 7 = 3 THEN "end" + 3 ELSE "end" END AS "end",
+       |         span_id
+       |  FROM ref_mentions WHERE (start + "end" + turn_idx) % 5 <> 0 AND turn_idx % 9 NOT IN (1, 4)
+       |  UNION ALL
+       |  SELECT conv_id, turn_idx, 0 AS start, 7 AS "end",
+       |         'spur|' || conv_id || '|' || CAST(turn_idx AS VARCHAR) AS span_id
+       |  FROM turns WHERE turn_idx % 11 = 7 AND len(text) >= 10 AND turn_idx % 9 NOT IN (1, 4)),
+       |gold_best AS (
+       |  SELECT string_split(g.conv_id, '.')[1] AS stratum, g.span_id, g.conv_id, g.turn_idx,
+       |         COALESCE(MAX(CASE WHEN p.span_id IS NULL THEN NULL
+       |                      ELSE CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
+       |                           / (GREATEST(g."end", p."end") - LEAST(g.start, p.start)) END), -1) AS best
+       |  FROM gold g LEFT JOIN pred p ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+       |  GROUP BY 1, 2, 3, 4),
+       |pred_best AS (
+       |  SELECT string_split(p.conv_id, '.')[1] AS stratum, p.span_id, p.conv_id, p.turn_idx,
+       |         COALESCE(MAX(CASE WHEN g.span_id IS NULL THEN NULL
+       |                      ELSE CAST(GREATEST(0, LEAST(g."end", p."end") - GREATEST(g.start, p.start)) AS DOUBLE)
+       |                           / (GREATEST(g."end", p."end") - LEAST(g.start, p.start)) END), -1) AS best
+       |  FROM pred p LEFT JOIN gold g ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+       |  GROUP BY 1, 2, 3, 4),
+       |th AS (SELECT unnest([0, 50, 90, 99]) AS threshold_pct),
+       |strata AS (SELECT DISTINCT string_split(conv_id, '.')[1] AS stratum FROM turns),
+       |counts_g AS (
+       |  SELECT gb.stratum, th.threshold_pct,
+       |         CAST(SUM(CASE WHEN gb.best > th.threshold_pct / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN gb.best > th.threshold_pct / 100.0 THEN 0 ELSE 1 END) AS BIGINT) AS fn
+       |  FROM th CROSS JOIN gold_best gb GROUP BY 1, 2),
+       |counts_p AS (
+       |  SELECT pb.stratum, th.threshold_pct,
+       |         CAST(SUM(CASE WHEN pb.best > th.threshold_pct / 100.0 THEN 0 ELSE 1 END) AS BIGINT) AS fp
+       |  FROM th CROSS JOIN pred_best pb GROUP BY 1, 2),
+       |tn_c AS (
+       |  SELECT string_split(t.conv_id, '.')[1] AS stratum, COUNT(*) AS tn FROM turns t
+       |  WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx)
+       |    AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx)
+       |  GROUP BY 1)
+       |SELECT s.stratum, th.threshold_pct,
+       |       COALESCE(cg.tp, 0) AS tp, COALESCE(cp.fp, 0) AS fp,
+       |       COALESCE(tn_c.tn, 0) AS tn, COALESCE(cg.fn, 0) AS fn
+       |FROM strata s CROSS JOIN th
+       |LEFT JOIN counts_g cg ON cg.stratum = s.stratum AND cg.threshold_pct = th.threshold_pct
+       |LEFT JOIN counts_p cp ON cp.stratum = s.stratum AND cp.threshold_pct = th.threshold_pct
+       |LEFT JOIN tn_c ON tn_c.stratum = s.stratum""".stripMargin
+
   /** G6 passage grain: positive-passage set intersections over the full turn
     * universe (metrics.py:145-186), same gold/pred CTEs as evalPrSql. */
   val evalPrPassageSql: String =
