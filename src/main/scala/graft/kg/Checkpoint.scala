@@ -42,11 +42,51 @@ object Checkpoint {
         .toSet
   }
 
+  /** Completed buckets that are also FRESH w.r.t. the source: the reference
+    * reprocesses a document whose result predates its text extraction
+    * (`inference_date < text_extraction_date`, flows/inference.py:305-358).
+    * The bucket-grain equivalent compares the max source `lastModified` the
+    * completing run RECORDED (`max_src_ts` on its lineage row) with the
+    * current per-bucket max — no wall clocks, pure source-data timestamps. A
+    * completed bucket whose source has since gained a newer row is stale and
+    * drops out of the skip set. The current-max aggregation is
+    * metadata-scale work (one map-side-combined agg; the statistics an
+    * Iceberg snapshot would serve for free — the reference pays the same
+    * cost as an S3 list of every source key's LastModified). */
+  def freshBuckets(
+      spark: SparkSession,
+      dir: String,
+      stage: String,
+      bucketedInput: DataFrame,
+      lastModifiedCol: String
+  ): Set[Int] = {
+    val path = new org.apache.hadoop.fs.Path(lineagePath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Set.empty
+    val seen = spark.read
+      .parquet(lineagePath(dir))
+      .where(col("stage") === stage && col("status") === "ok")
+      .groupBy("bucket")
+      .agg(max(col("max_src_ts")).as("seen_ts"))
+    val cur = bucketedInput
+      .groupBy("bucket")
+      .agg(max(unix_timestamp(col(lastModifiedCol))).as("cur_ts"))
+    seen
+      .join(cur, Seq("bucket"))
+      .where(col("seen_ts").isNotNull && col("seen_ts") >= col("cur_ts"))
+      .select("bucket")
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+  }
+
   /** Run `stage` over the not-yet-completed buckets of `input`, appending
     * bucket-partitioned output plus lineage rows. Returns the number of
     * buckets processed this run. The stage function must preserve the
     * `bucket` column (it is derived from the key, so any per-key transform
-    * keeps it). */
+    * keeps it). When `lastModifiedCol` is given (a timestamp column on the
+    * input), completed-but-STALE buckets — source rows newer than what the
+    * completing run saw — are reprocessed too (F3's timestamp predicate). */
   def runResumable(
       spark: SparkSession,
       input: DataFrame,
@@ -54,11 +94,15 @@ object Checkpoint {
       dir: String,
       stage: String,
       runId: String,
-      nBuckets: Int = DefaultBuckets
+      nBuckets: Int = DefaultBuckets,
+      lastModifiedCol: Option[String] = None
   )(transform: DataFrame => DataFrame): Int = {
     val t0 = System.nanoTime()
-    val done = completedBuckets(spark, dir, stage)
     val bucketed = input.withColumn("bucket", bucketCol(keyCol, nBuckets))
+    val done = lastModifiedCol match {
+      case None     => completedBuckets(spark, dir, stage)
+      case Some(ts) => freshBuckets(spark, dir, stage, bucketed, ts)
+    }
     val todo =
       if (done.isEmpty) bucketed
       else bucketed.where(!col("bucket").isin(done.toSeq: _*))
@@ -88,6 +132,14 @@ object Checkpoint {
     val written = spark.read
       .parquet(dataPath(dir))
       .where(col("bucket").isin(ids.toSeq: _*))
+    // the max source timestamp each processed bucket was derived from — what
+    // freshBuckets compares against on the next run (null when staleness
+    // tracking is off; the column is always present so lineage appends from
+    // both modes share one schema)
+    val srcTs = lastModifiedCol match {
+      case Some(ts) => todo.groupBy("bucket").agg(max(unix_timestamp(col(ts))).as("max_src_ts"))
+      case None     => todo.select("bucket").distinct().withColumn("max_src_ts", lit(null).cast("long"))
+    }
     val lineage = written
       .groupBy("bucket")
       .agg(
@@ -95,6 +147,7 @@ object Checkpoint {
         min(col(keyCol)).cast("string").as("min_key"),
         max(col(keyCol)).cast("string").as("max_key")
       )
+      .join(srcTs, Seq("bucket"), "left")
       .withColumn("stage", lit(stage))
       .withColumn("run_id", lit(runId))
       .withColumn("status", lit("ok"))

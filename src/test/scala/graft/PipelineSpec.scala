@@ -104,6 +104,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineage.select("bucket").distinct().count() == lineage.count())
   }
 
+  test("checkpoint: a source-row update invalidates exactly its bucket (F3 timestamp predicate)") {
+    val out = Files.createTempDirectory("graft_ckpt_ts").toString
+    val turns = KgPipeline.eligibleTurns(Transcripts.read(spark, dir)).cache()
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "text", "bucket")
+
+    // full run with staleness tracking on: every bucket completes
+    val n1 = Checkpoint.runResumable(
+      spark, turns, "conv_id", out, "s", "run1", lastModifiedCol = Some("ts"))(stage)
+    assert(n1 > 0)
+    // unchanged source: nothing to do
+    val n2 = Checkpoint.runResumable(
+      spark, turns, "conv_id", out, "s", "run2", lastModifiedCol = Some("ts"))(stage)
+    assert(n2 == 0)
+
+    // a re-extraction touches ONE conversation: its ts moves forward and its
+    // text changes — exactly that conversation's bucket must rerun
+    val someConv = turns.select("conv_id").orderBy("conv_id").limit(1).collect()(0).getString(0)
+    val updated = turns
+      .withColumn("ts", when($"conv_id" === someConv, $"ts" + expr("INTERVAL 1 DAY")).otherwise($"ts"))
+      .withColumn("text", when($"conv_id" === someConv, concat($"text", lit(" UPDATED"))).otherwise($"text"))
+    val n3 = Checkpoint.runResumable(
+      spark, updated, "conv_id", out, "s", "run3", lastModifiedCol = Some("ts"))(stage)
+    val staleBucket = turns
+      .where($"conv_id" === someConv)
+      .select(Checkpoint.bucketCol("conv_id")).collect()(0).getInt(0)
+    assert(n3 == 1)
+
+    // the rewritten bucket carries the updated text; others are untouched
+    val data = spark.read.parquet(Checkpoint.dataPath(out))
+    assert(data.where($"conv_id" === someConv && !$"text".endsWith(" UPDATED")).count() == 0)
+    assert(data.where($"text".endsWith(" UPDATED") && $"bucket" =!= staleBucket).count() == 0)
+    // and a fourth run on the updated source is again a no-op
+    val n4 = Checkpoint.runResumable(
+      spark, updated, "conv_id", out, "s", "run4", lastModifiedCol = Some("ts"))(stage)
+    assert(n4 == 0)
+  }
+
   test("connected components: known graph, two components + isolated pair") {
     val edges = Seq(
       ("a", "b"), ("b", "c"), ("c", "d"), // chain

@@ -157,6 +157,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateful incremental edges: kill + restart from checkpoint recovers dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def edges = graft.streaming.StreamingIngest
+      .incrementalMentionEdges(spark, transcripts, KgPipeline.defaultConcepts)
+    // parquet sink: checkpoint-recoverable AND exactly-once (the memory sink
+    // supports neither), so the whole output across both incarnations must
+    // stay duplicate-free
+    def start() = edges.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .start()
+    def emitted(): Seq[(String, String)] =
+      spark.read.parquet(outDir).collect().map(r => (r.getAs[String]("subj"), r.getAs[String]("obj"))).toSeq
+
+    // first incarnation: emit edges for two turns, then die
+    val q1 = start()
+    try {
+      input.addData(
+        ("r1", 0, "user", "the table scan is slow", None, ts(0)),
+        ("r1", 1, "assistant", "use a hash join", None, ts(1)))
+      q1.processAllAvailable()
+      assert(emitted().toSet == Set(("r1_0", "Q10"), ("r1_1", "Q11")), s"got ${emitted()}")
+    } finally q1.stop()
+
+    // second incarnation from the SAME checkpoint: a verbatim replay of turn
+    // 0 (at-least-once upstream redelivery across the restart) must emit NO
+    // duplicate — only possible if the SeenEdges state store was recovered
+    val q2 = start()
+    try {
+      input.addData(
+        ("r1", 0, "user", "the table scan is slow", None, ts(0)), // replay
+        ("r1", 2, "user", "the table scan again", None, ts(2))) // genuinely new
+      q2.processAllAvailable()
+      val got2 = emitted()
+      assert(got2.size == got2.distinct.size, s"duplicates after restart: $got2")
+      assert(got2.toSet == Set(("r1_0", "Q10"), ("r1_1", "Q11"), ("r1_2", "Q10")),
+        s"expected exactly the old edges plus the new one, got $got2")
+    } finally q2.stop()
+  }
+
   test("transformWithState incremental edges: MapState point-lookup dedup (Spark 4.1 TWS)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
