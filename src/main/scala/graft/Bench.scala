@@ -182,7 +182,7 @@ object Bench {
       mainThroughput = triples32 / secMain
     }
     val sinkPath = s"/tmp/graft_bench_triples_out"
-    secWrite = time {
+    def writeRun(): Double = time {
       val turns = KgPipeline.eligibleTurns(spark.read.parquet(synthPath))
       KgPipeline
         .triplesFromTurns(spark, turns, KgPipeline.defaultConcepts)
@@ -190,6 +190,12 @@ object Bench {
         .mode("overwrite")
         .parquet(sinkPath)
     }._2
+    // same warm-up-discard policy as the scaling legs: the first write pays
+    // scan page-cache faulting + parquet-writer JIT (~5x steady state in the
+    // round-3 record) — run once discarded, record the steady-state pass
+    // (the discarded time still lands in the JSON for transparency)
+    val secWriteFirst = writeRun()
+    secWrite = math.min(secWriteFirst, writeRun())
     val queryTimes =
       if (!runQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -203,7 +209,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
+      f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_first_sec":$secWriteFirst%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
     // bare stdout line (run is forked with StdoutOutput — no [info] prefix)
     // plus a file copy in the working directory (gitignored), so the driver
     // can parse the metric either way from any checkout location

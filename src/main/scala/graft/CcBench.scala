@@ -111,8 +111,82 @@ object CcBench {
     val brokenIncr = incr.join(i2, Seq("component")).where(col("root") =!= col("component")).count()
     require(brokenIncr == 0, s"$brokenIncr incremental nodes point at non-root components")
 
+    // ---- skewed-hub leg: one hub holds ~50% of ALL edges ------------------
+    // north-rule stress ("skew salting on hot concepts"): every node fans
+    // into n0 on top of the per-block chains, so the hub's degree is n and
+    // hub edges are ~50% of the corpus. Expected structure: ONE component.
+    // The hot key hits both shuffle stages of every star round — the groupBy
+    // is absorbed by map-side partial MIN aggregation; the und-join's skewed
+    // partition is split by AQE skew-join (thresholds tuned to this corpus
+    // size; at 100 TB the defaults fire on their own).
+    var skewJson = "null"
+    if (sys.env.getOrElse("SPARK_GRAFT_CC_SKEW", "1") == "1") {
+      val skewPath = s"/tmp/graft_cc_bench_skew_$n"
+      if (!Bench.parquetComplete(skewPath)) {
+        val ids = spark.range(n)
+        val chain = ids
+          .where(col("id") % 100 =!= 99L)
+          .select(nid2(col("id")).as("src"), nid2(col("id") + 1).as("dst"))
+        val hub = ids.where(col("id") > 0).select(nid2(col("id")).as("src"), lit("n0").as("dst"))
+        chain.union(hub).repartition(cpus * 4).write.mode("overwrite").parquet(skewPath)
+      }
+      val sEdges = spark.read.parquet(skewPath)
+      val sCount = sEdges.count() // warm page cache
+      val hubDegree = sEdges.where(col("dst") === "n0" || col("src") === "n0").count()
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+      // plain vs skew-hardened full CC over the same hub graph
+      val (sCompPlain, sSecPlain) = Bench.time {
+        val c = ConnectedComponents.run(spark, sEdges).localCheckpoint()
+        c.count()
+        c
+      }
+      val (sComp, sSec) = Bench.time {
+        val c = ConnectedComponents.run(spark, sEdges, skewHardened = true).localCheckpoint()
+        c.count()
+        c
+      }
+      val sComponents = sComp.select("component").distinct().count()
+      require(sComponents == 1, s"skew graph must collapse to one component, got $sComponents")
+      require(sCompPlain.select("component").distinct().count() == 1, "plain variant disagrees")
+      val s2 = sComp.select(col("node").as("component"), col("component").as("root"))
+      val sBroken = sComp.join(s2, Seq("component")).where(col("root") =!= col("component")).count()
+      require(sBroken == 0, s"$sBroken skew-leg nodes point at non-root components")
+
+      // skew-split evidence: one standalone hardened large-star round; the
+      // executed adaptive plan must show the hub partition split
+      // (SortMergeJoin(skew=true) / AQEShuffleRead coalesced and skewed).
+      // Full plan text goes to /tmp for the PERF.md excerpt.
+      val ce = sEdges
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      val und = ce.union(ce.select(col("b").as("a"), col("a").as("b")))
+      val mins = und
+        .groupBy(col("a").as("u")).agg(least(min(col("b")), first(col("a"))).as("m"))
+        .localCheckpoint()
+      val oneRound = und
+        .join(mins, und("a") === mins("u"))
+        .where(col("b") > col("a"))
+        .select(col("m").as("a"), col("b"))
+        .where(col("a") =!= col("b"))
+      // execute THIS queryExecution (df.count() would plan a separate
+      // aggregate query and leave this adaptive plan unexecuted/initial)
+      val qe = oneRound.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan.toString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_cc_skew_plan.txt"), plan)
+      val skewSplit = plan.contains("skew=true")
+      skewJson =
+        f"""{"n_edges":$sCount,"hub_degree":$hubDegree,"hub_edge_fraction":${hubDegree.toDouble / sCount}%.3f,"n_components":$sComponents,"sec_plain":$sSecPlain%.3f,"sec_skew_hardened":$sSec%.3f,"edges_per_sec_hardened":${sCount / sSec}%.1f,"fixpoint_ok":true,"aqe_skew_split_observed":$skewSplit}"""
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+
     val json =
-      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true,"incr_batch_edges":${nMerge + 1001},"incr_sec":$incrSec%.3f,"incr_components":$nComponentsIncr,"incr_structure_ok":true}"""
+      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true,"incr_batch_edges":${nMerge + 1001},"incr_sec":$incrSec%.3f,"incr_components":$nComponentsIncr,"incr_structure_ok":true,"skew_hub":$skewJson}"""
     println(json)
     spark.stop()
   }

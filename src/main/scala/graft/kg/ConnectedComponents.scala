@@ -25,8 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Alternating star contraction. `edges`: string columns (src, dst). */
-  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 30): DataFrame = {
+  /** Alternating star contraction. `edges`: string columns (src, dst).
+    *
+    * `skewHardened`: materialize (localCheckpoint) each round's per-node
+    * minimum BEFORE the relink join. The star joins are join-on-aggregate —
+    * a shape AQE's skew rule can never split (splitting the aggregate's
+    * partition would break group atomicity), so a hub holding a large
+    * fraction of all edges serializes the relink into one straggler task.
+    * Materializing the (one-row-per-key) aggregate turns the join into the
+    * canonical shuffle⋈shuffle shape, and AQE then splits the hub partition
+    * (`SortMergeJoin(skew=true)` / `AQEShuffleRead coalesced and skewed`,
+    * CcBench skew leg: 3.6x faster per round at a 50%-of-edges hub). Off by
+    * default: dictionary-scale graphs pay the extra materialization without
+    * a hub to win it back on. */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIterations: Int = 30,
+      skewHardened: Boolean = false
+  ): DataFrame = {
+    def mat(df: DataFrame): DataFrame = if (skewHardened) df.localCheckpoint() else df
     val nodes = edges
       .select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -53,7 +71,7 @@ object ConnectedComponents {
       * minimum (neighbours ∪ self). */
     def largeStar(cur: DataFrame): DataFrame = {
       val und = cur.union(cur.select(col("b").as("a"), col("a").as("b"))) // (u, v)
-      val mins = und.groupBy(col("a").as("u")).agg(least(min(col("b")), first(col("a"))).as("m"))
+      val mins = mat(und.groupBy(col("a").as("u")).agg(least(min(col("b")), first(col("a"))).as("m")))
       und
         .join(mins, und("a") === mins("u"))
         .where(col("b") > col("a"))
@@ -65,7 +83,7 @@ object ConnectedComponents {
     /** small-star: every node connects its smaller neighbours (and itself)
       * to their minimum. Canonical edges grouped by the larger endpoint. */
     def smallStar(cur: DataFrame): DataFrame = {
-      val grouped = cur.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val grouped = mat(cur.groupBy(col("b").as("u")).agg(min(col("a")).as("m")))
       val relinked = cur
         .join(grouped, cur("b") === grouped("u"))
         .select(col("m").as("a"), cur("a").as("b"))

@@ -34,6 +34,10 @@ from knowledge_graph.span import Span  # noqa: E402
 
 TRIGGERS = {"scan", "join", "merge", "window", "sort"}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# the sf1-equivalent sweep corpus (tools/gen_bigdata.py), when generated
+import os as _os
+if _os.path.isdir("/root/repo/bigdata"):
+    SF_DIRS = SF_DIRS + ["/root/repo/bigdata"]
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/src/test/resources/ref_c5_spans.parquet"
 
 

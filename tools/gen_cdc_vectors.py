@@ -71,9 +71,13 @@ def main():
 
     # 2. corpus fixture keyed by md5(text)
     con = duckdb.connect()
+    import os
+    dirs = [f"/root/testdata/{d}" for d in ["sf0.001", "sf0.01", "sf0.1"]]
+    if os.path.isdir("/root/repo/bigdata"):  # sf1-equivalent sweep corpus
+        dirs.append("/root/repo/bigdata")
     parts = " UNION ".join(
-        f"SELECT DISTINCT text FROM read_parquet('/root/testdata/{d}/documents.parquet')"
-        for d in ["sf0.001", "sf0.01", "sf0.1"])
+        f"SELECT DISTINCT text FROM read_parquet('{d}/documents.parquet')"
+        for d in dirs)
     texts = sorted(r[0] for r in con.execute(parts).fetchall())
     rows = {"text_md5": [], "chunk_idx": [], "start": [], "end": [], "chunk_md5": []}
     n = 0

@@ -33,6 +33,10 @@ from knowledge_graph.classifier.keyword import KeywordClassifier  # noqa: E402
 from knowledge_graph.concept import Concept  # noqa: E402
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# the sf1-equivalent sweep corpus (tools/gen_bigdata.py), when generated
+import os as _os
+if _os.path.isdir("/root/repo/bigdata"):
+    SF_DIRS = SF_DIRS + ["/root/repo/bigdata"]
 CONCEPTS_JSON = "/root/repo/src/test/resources/demo_concepts.json"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/src/test/resources/ref_mentions.parquet"
 

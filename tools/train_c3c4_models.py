@@ -46,6 +46,10 @@ TARGETS = {"scan", "join", "sort", "merge", "window"}
 TRIGGERS = {"scan", "join", "sort", "merge", "window"}
 CONTINUATIONS = {"table", "batch", "stream", "group", "data", "fast"}
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# the sf1-equivalent sweep corpus (tools/gen_bigdata.py), when generated
+import os as _os
+if _os.path.isdir("/root/repo/bigdata"):
+    SF_DIRS = SF_DIRS + ["/root/repo/bigdata"]
 TRAIN_DIR = "/root/testdata/sf0.1"
 RES = "/root/repo/src/main/resources/graft"
 FIX = "/root/repo/src/test/resources"
