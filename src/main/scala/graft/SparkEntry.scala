@@ -230,8 +230,12 @@ object SparkEntry {
         emb(s, dir), nQueries = 200, threshold = 0.4, nProbe = 6,
         preProbes = Some(probes), preCents = Some(cb))
     }),
-    // embedding batch ingest: vec_id%5==0 vectors probe-assigned against the
-    // shared codebook and joined one-sided vs the persisted probe index
+    // embedding batch ingest: vec_id%5==0 vectors (bounded to vec_id<1000 —
+    // the sf1-equivalent sweep showed DuckDB's inequality-join oracle
+    // materializing >100 GB on an UNBOUNDED batch at 20k vectors; the engine
+    // side was fine, but the oracle must stay re-derivable at every scale)
+    // probe-assigned against the shared codebook and joined one-sided vs the
+    // persisted probe index
     "dedup_embedding_incr" -> ((s, dir) => {
       val e = emb(s, dir)
       val cb = ivfCodebook(s, dir)
@@ -239,7 +243,8 @@ object SparkEntry {
         .probeAssign(e.where(col("vec_id") % 5 =!= 0), nProbe = 6, preCents = Some(cb))
         .localCheckpoint()
       val (pairs, _) = Similarity.embeddingNearDupsIvfIncremental(
-        e.where(col("vec_id") % 5 === 0), e, oldProbes, cb, threshold = 0.4, nProbe = 6)
+        e.where(col("vec_id") % 5 === 0 && col("vec_id") < 1000), e, oldProbes, cb,
+        threshold = 0.4, nProbe = 6)
       pairs
     }),
     // ---- similarity search --------------------------------------------------
@@ -810,11 +815,15 @@ object SparkEntry {
     // vec_id%5==0 batch (IVF recall 1.0 on this corpus, as for the _ivf row)
     "dedup_embedding_incr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
-        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
-        |  AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |batch AS (SELECT * FROM n WHERE vec_id % 5 = 0 AND vec_id < 1000),
+        |-- index universe = persisted old index (vec_id%5<>0) plus this batch;
+        |-- %5=0 vectors beyond the bound are future batches, not yet ingested
+        |idx AS (SELECT * FROM n WHERE vec_id % 5 <> 0 OR vec_id < 1000)
+        |SELECT LEAST(a.vec_id, b.vec_id) AS doc_a, GREATEST(a.vec_id, b.vec_id) AS doc_b
+        |FROM batch a JOIN idx b ON a.vec_id <> b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+        |  AND NOT (b.vec_id % 5 = 0 AND b.vec_id < 1000 AND b.vec_id < a.vec_id)""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

@@ -15,9 +15,11 @@ class RealScorersSpec extends AnyFunSuite {
 
   private val fixDir = "src/test/resources"
 
-  /** All distinct en texts across the three sf dirs (the fixture universe). */
+  /** All distinct en texts across the sf dirs (the fixture universe; the
+    * sf1-equivalent sweep corpus joins in when generated). */
   private lazy val allTexts: Map[String, String] = {
-    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1") ++
+      (if (new java.io.File("/root/repo/bigdata/documents.parquet").exists()) Seq("/root/repo/bigdata") else Nil)
     dirs
       .map(d => spark.read.parquet(s"$d/documents.parquet").where(col("lang") === "en").select("text"))
       .reduce(_ union _)
