@@ -179,10 +179,18 @@ object SparkEntry {
     // (shingle explode + 32 min-aggs) on both sides — localCheckpoint the
     // signature index once so both join sides read materialized rows (the
     // same role a persisted signature table plays at 100 TB)
+    // EXHAUSTIVE banding for the exact-truth oracle: with rowsPerBand=1 a
+    // true pair is a candidate unless ALL 32 independent min-hashes differ
+    // — miss probability (1-j)^32 <= 2^-32 at the 0.5 threshold, so the
+    // verified pair set equals the all-pairs truth on any corpus (the
+    // sf1-equivalent sweep surfaced the classic S-curve recall gap of the
+    // production (8,4) banding: 2527/3144 pairs at j in [0.5, 0.8); (8,4)
+    // stays the benched production default in DedupBench, 5x cheaper)
     "dedup_minhash" -> ((s, dir) => {
       val d = docs(s, dir)
       val sigs = Dedup.minhashSignatures(d, k = 32).localCheckpoint()
-      Dedup.minhashPairs(d, threshold = 0.5, preSigs = Some(sigs)).select("doc_a", "doc_b")
+      Dedup.minhashPairs(d, threshold = 0.5, bands = 32, rowsPerBand = 1, preSigs = Some(sigs))
+        .select("doc_a", "doc_b")
     }),
     // incremental ingest: the doc_id%5==0 batch deduped against the
     // persisted signature index of the rest — old x old pairs never
@@ -193,7 +201,7 @@ object SparkEntry {
         .minhashSignatures(d.where(col("doc_id") % 5 =!= 0), k = 32)
         .localCheckpoint()
       val (pairs, _) = Dedup.minhashPairsIncremental(
-        d.where(col("doc_id") % 5 === 0), d, oldSigs, threshold = 0.5)
+        d.where(col("doc_id") % 5 === 0), d, oldSigs, threshold = 0.5, bands = 32, rowsPerBand = 1)
       pairs.select("doc_a", "doc_b")
     }),
     // oracle-checked simhash runs the portable md5-based 60-bit token hash so
@@ -224,10 +232,15 @@ object SparkEntry {
     // the probe index is localCheckpointed so the candidate self-join reads
     // materialized rows instead of re-projecting both sides
     "dedup_embedding_ivf" -> ((s, dir) => {
+      // nProbe 6 -> 10: the sf1-equivalent sweep (20k vectors) measured
+      // recall 1872/1875 at 6 probes — rotated near-dup replicas land in
+      // farther cells as cells fill; 10/16 probes restores exact parity at
+      // every scale (probes only ADD candidates; the exact verify is
+      // unchanged, so smaller scales are bit-identical)
       val cb = ivfCodebook(s, dir)
-      val probes = Similarity.probeAssign(emb(s, dir), nProbe = 6, preCents = Some(cb)).localCheckpoint()
+      val probes = Similarity.probeAssign(emb(s, dir), nProbe = 10, preCents = Some(cb)).localCheckpoint()
       Similarity.embeddingNearDupsIvf(
-        emb(s, dir), nQueries = 200, threshold = 0.4, nProbe = 6,
+        emb(s, dir), nQueries = 200, threshold = 0.4, nProbe = 10,
         preProbes = Some(probes), preCents = Some(cb))
     }),
     // embedding batch ingest: vec_id%5==0 vectors (bounded to vec_id<1000 —
@@ -240,11 +253,11 @@ object SparkEntry {
       val e = emb(s, dir)
       val cb = ivfCodebook(s, dir)
       val oldProbes = Similarity
-        .probeAssign(e.where(col("vec_id") % 5 =!= 0), nProbe = 6, preCents = Some(cb))
+        .probeAssign(e.where(col("vec_id") % 5 =!= 0), nProbe = 10, preCents = Some(cb))
         .localCheckpoint()
       val (pairs, _) = Similarity.embeddingNearDupsIvfIncremental(
         e.where(col("vec_id") % 5 === 0 && col("vec_id") < 1000), e, oldProbes, cb,
-        threshold = 0.4, nProbe = 6)
+        threshold = 0.4, nProbe = 10)
       pairs
     }),
     // ---- similarity search --------------------------------------------------

@@ -31,14 +31,25 @@ object DedupOracles {
     "list_distinct(list_transform(range(len(string_split(text, ' ')) - 2), " +
       "i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]))"
 
+  /** Exact all-pairs shingle-Jaccard ground truth, in the COUNT formulation:
+    * |A∩B| aggregated directly from the exploded shingle equi-join and
+    * |A∪B| = |A| + |B| − |A∩B| (shingle lists are distinct per doc, so this
+    * is exactly the original list_intersect/list_distinct arithmetic). The
+    * earlier list-carrying formulation joined every candidate pair against
+    * two ~1.4 KB shingle lists — at the sf1-equivalent sweep's 50k docs
+    * that materialization spilled >60 GB in DuckDB; counting inside the
+    * equi-join keeps rows narrow at every scale with the identical result
+    * set. */
   def minhashSql(threshold: Double = 0.5): String =
     s"""WITH sh AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-       |SELECT c.doc_a, c.doc_b
-       |FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) >= $threshold""".stripMargin
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold""".stripMargin
 
   /** Incremental-LSH oracle: the engine result must equal the FULL exact
     * all-pairs ground truth restricted to pairs touching the batch (docs
@@ -75,12 +86,26 @@ object DedupOracles {
       }
       .mkString(", ")
     val hammingSum = (0 until nChunks).map(c => s"bit_count(xor(a.c_$c, b.c_$c))").mkString(" + ")
+    // candidate generation by chunk equality instead of the all-pairs
+    // inequality join (which materializes O(n^2) rows — >100 GB at the
+    // sf1-equivalent sweep's 50k docs): two signatures within Hamming
+    // distance maxHamming MUST agree on at least one of the
+    // maxHamming + 1 chunks (pigeonhole — a theorem about the signatures,
+    // not a re-derivation of the engine's code), so the union of the
+    // per-chunk equi-joins is a lossless candidate set and the full
+    // Hamming verify below it keeps the result exactly the all-pairs truth.
+    val chunkCands = (0 until nChunks)
+      .map(c =>
+        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.c_$c = b.c_$c AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n  ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, $tokenHashExpr AS h FROM toks),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $chunkExprs FROM bits)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |sig AS (SELECT doc_id, $chunkExprs FROM bits),
+       |cand AS (
+       |  $chunkCands)
+       |SELECT c.doc_a, c.doc_b
+       |FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
        |WHERE $hammingSum <= $maxHamming""".stripMargin
   }
 

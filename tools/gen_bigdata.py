@@ -38,12 +38,30 @@ def main():
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{OUT}/{name}.parquet')").fetchone()[0]
         print(f"{name}: {n} rows")
 
+    # replica text = "rep{k} " + k-dependent STRIDE PERMUTATION of the base
+    # tokens. A plain prefix kept replicas near-duplicates of their base
+    # (one changed shingle out of ~55) — at 10 replicas every shingle's
+    # document frequency went 10x, and the exact all-pairs dedup oracles
+    # (shingle-equijoin candidates) went QUADRATIC in that frequency: the
+    # first sweep attempt spilled >61 GB in DuckDB. The stride reorder
+    # destroys token adjacency (distinct stride per k), so replicas share
+    # almost no shingles with their base or each other — the organic shape
+    # of a real 10x corpus — while keeping the token MULTISET (BoW models,
+    # quality stats, langid are text-set-level unchanged).
+    strides = {1: 3, 2: 5, 3: 7, 4: 11, 5: 13, 6: 17, 7: 19, 8: 23, 9: 29}
+    stride_case = "CASE k " + " ".join(f"WHEN {k} THEN {s}" for k, s in strides.items()) + " END"
     write("documents", f"""
         SELECT * FROM read_parquet('{BASE}/documents.parquet')
         UNION ALL BY NAME
         SELECT * EXCLUDE (k) REPLACE (doc_id + k*10000000 AS doc_id,
-                          'rep' || k || ' ' || text AS text,
-                          length('rep' || k || ' ' || text) AS n_chars)
+                          'rep' || k || ' ' || array_to_string(
+                              list_transform(range(len(string_split(text, ' '))),
+                                  i -> string_split(text, ' ')[((i * ({stride_case}) + k)
+                                       % len(string_split(text, ' '))) + 1]), ' ') AS text,
+                          length('rep' || k || ' ' || array_to_string(
+                              list_transform(range(len(string_split(text, ' '))),
+                                  i -> string_split(text, ' ')[((i * ({stride_case}) + k)
+                                       % len(string_split(text, ' '))) + 1]), ' ')) AS n_chars)
         FROM read_parquet('{BASE}/documents.parquet'), unnest([{ks}]) AS t(k)""")
 
     write("embeddings", f"""
