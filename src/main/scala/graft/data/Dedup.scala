@@ -58,15 +58,18 @@ object Dedup {
         substring(col("text"), 1, blockChars).as("block"),
         split(col("text"), " ").as("toks")
       )
-      .select(col("doc_id"), col("block"), shinglesFromTokens(col("toks")).as("sh"))
+      // sorted once per doc -> per-pair intersection is the linear-merge
+      // expression (same values as array_intersect/array_union by
+      // inclusion-exclusion; see verifyJaccard)
+      .select(col("doc_id"), col("block"), array_sort(shinglesFromTokens(col("toks"))).as("sh"))
     val a = withBlock.as("a")
     val b = withBlock.as("b")
+    val inter = graft.extract.SortedIntersect.sortedIntersectCount(col("a.sh"), col("b.sh"))
     a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard")
+        (inter.cast("double") / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard")
       )
       .where(col("jaccard") >= threshold)
   }
@@ -135,18 +138,24 @@ object Dedup {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
+    // shingle arrays are sorted ONCE per candidate doc so the per-pair
+    // intersection is a zero-allocation linear merge
+    // (SortedIntersectCount) instead of array_intersect's per-invocation
+    // hash set — measured 25 us -> ~2 us per ~55-shingle pair; the union
+    // size follows by inclusion-exclusion, so the jaccard values (and the
+    // DuckDB oracle parity) are identical
     val sh = docs
       .join(if (broadcastCandidates) broadcast(candIds) else candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"), array_sort(shinglesFromTokens(col("toks"))).as("sh"))
+    val inter = graft.extract.SortedIntersect.sortedIntersectCount(col("sh_a"), col("sh_b"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+        (inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard")
       )
       .where(col("jaccard") >= threshold)
   }

@@ -219,6 +219,27 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_intersect_count == size(array_intersect) on random sorted-distinct arrays") {
+    import org.apache.spark.sql.functions.{array_distinct, array_intersect, array_sort, col, size => fsize}
+    import graft.extract.SortedIntersect.sortedIntersectCount
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"tok${i}")
+    def arr(): Seq[String] = Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+    val rows = (1L to 200L).map(i => (i, arr(), arr())) :+
+      (201L, Seq.empty[String], Seq("a")) :+ (202L, Seq.empty[String], Seq.empty[String])
+    val df = rows.toDF("id", "ra", "rb")
+      .select(col("id"),
+        array_sort(array_distinct(col("ra"))).as("a"),
+        array_sort(array_distinct(col("rb"))).as("b"))
+    val bad = df
+      .select(col("id"),
+        sortedIntersectCount(col("a"), col("b")).as("native"),
+        fsize(array_intersect(col("a"), col("b"))).as("builtin"))
+      .where(col("native") =!= col("builtin"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("dot_product codegen expression: bit-exact vs the HOF fold, null semantics mirrored") {
     import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
     import graft.extract.DotProductExpression.dotProduct
