@@ -494,6 +494,33 @@ object SparkEntry {
           col("sp.start").as("start"),
           col("sp.end").as("end"),
           col("sp.surface").as("surface"))),
+    // ---- C6: AutoLLM prompt-optimization loop --------------------------------
+    // the full trial loop (evaluate -> mine errors -> new guidelines ->
+    // re-evaluate, autollm.py:94-305) with deterministic stand-ins behind
+    // the LLM seams; output = the per-trial confusion counts (integers —
+    // exact). The oracle UNROLLS the same two proposals in SQL: the mined
+    // term is the (score desc, token asc) top of df_FN - df_FP over the
+    // incorrect passages, exactly the ErrorMiningProposer contract.
+    "c6_auto_prompt" -> ((s, dir) => {
+      import s.implicits._
+      val tk = array_distinct(split(lower(col("text")), " "))
+      val passages = docs(s, dir)
+        .where(col("lang") === "en")
+        .select(
+          col("doc_id").as("passage_id"),
+          col("text"),
+          ((array_contains(tk, "window") || array_contains(tk, "stream")) &&
+            !array_contains(tk, "vector")).as("gold"))
+      val (_, trials) = graft.extract.AutoPrompt.fit(
+        s, passages,
+        new graft.extract.AutoPrompt.TermPromptClassifier,
+        new graft.extract.AutoPrompt.ErrorMiningProposer,
+        graft.extract.AutoPrompt.Prompt("sys", graft.extract.AutoPrompt.renderGuidelines(Seq("window"), Nil)),
+        "hidden rule drill", nTrials = 2)
+      trials
+        .map(t => (t.index, t.cm.tp, t.cm.fp, t.cm.tn, t.cm.fn))
+        .toDF("trial", "tp", "fp", "tn", "fn")
+    }),
     // ---- S10 dynamism: concept-store swap drill ------------------------------
     // the same pipeline + oracle machinery rebuilt from swappedConcepts (a
     // wikibase-style update batch: Q90 added, Q17 deleted, Q80 redirected
@@ -728,6 +755,60 @@ object SparkEntry {
         |JOIN read_parquet('${OracleGen.repoRoot}/src/test/resources/ref_c5_spans.parquet') f
         |  ON md5(d.text) = f.text_md5
         |WHERE d.lang = 'en'""".stripMargin,
+    // C6: the two proposal rounds unrolled — each p{i} layer is the term
+    // classifier under the accumulated include/exclude lists, each add{inc,
+    // exc} is the proposer's discriminative-token mining over that trial's
+    // errors (guards mirror the engine: only mine when the error side is
+    // non-empty, score >= 1, token not already known, ties to token asc)
+    "c6_auto_prompt" -> {
+      def predLayer(p: String, inc: String, exc: String) =
+        s"""$p AS (SELECT doc_id, toks, gold,
+           |  EXISTS(SELECT 1 FROM $inc t WHERE list_contains(d0.toks, t.tok))
+           |  AND NOT EXISTS(SELECT 1 FROM $exc t WHERE list_contains(d0.toks, t.tok)) AS pred
+           |  FROM d0)""".stripMargin
+      def mineLayer(i: Int, p: String, known: Seq[String]) = {
+        val knownSql = known.map(k => s"SELECT tok FROM $k").mkString(" UNION ")
+        s"""sc$i AS (SELECT tok, SUM(s) AS score FROM (
+           |    SELECT unnest(toks) AS tok, 1 AS s FROM $p WHERE gold AND NOT pred
+           |    UNION ALL
+           |    SELECT unnest(toks), -1 FROM $p WHERE pred AND NOT gold) GROUP BY tok),
+           |addinc$i AS (SELECT tok FROM sc$i WHERE score >= 1 AND tok NOT IN ($knownSql)
+           |    AND EXISTS(SELECT 1 FROM $p WHERE gold AND NOT pred)
+           |    ORDER BY score DESC, tok LIMIT 1),
+           |addexc$i AS (SELECT tok FROM sc$i WHERE -score >= 1 AND tok NOT IN ($knownSql)
+           |    AND EXISTS(SELECT 1 FROM $p WHERE pred AND NOT gold)
+           |    ORDER BY score ASC, tok LIMIT 1)""".stripMargin
+      }
+      def counts(i: Int, p: String) =
+        s"""SELECT $i AS trial,
+           |  CAST(SUM(CASE WHEN gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN NOT gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |  CAST(SUM(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |FROM $p""".stripMargin
+      s"""WITH d0 AS (
+         |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+         |         (list_contains(list_distinct(string_split(lower(text), ' ')), 'window')
+         |          OR list_contains(list_distinct(string_split(lower(text), ' ')), 'stream'))
+         |         AND NOT list_contains(list_distinct(string_split(lower(text), ' ')), 'vector') AS gold
+         |  FROM documents WHERE lang = 'en'),
+         |inc0(tok) AS (VALUES ('window')),
+         |exc0(tok) AS (SELECT CAST(NULL AS VARCHAR) WHERE 1 = 0),
+         |${predLayer("p0", "inc0", "exc0")},
+         |${mineLayer(1, "p0", Seq("inc0", "exc0"))},
+         |inc1 AS (SELECT tok FROM inc0 UNION SELECT tok FROM addinc1),
+         |exc1 AS (SELECT tok FROM exc0 UNION SELECT tok FROM addexc1),
+         |${predLayer("p1", "inc1", "exc1")},
+         |${mineLayer(2, "p1", Seq("inc1", "exc1"))},
+         |inc2 AS (SELECT tok FROM inc1 UNION SELECT tok FROM addinc2),
+         |exc2 AS (SELECT tok FROM exc1 UNION SELECT tok FROM addexc2),
+         |${predLayer("p2", "inc2", "exc2")}
+         |${counts(0, "p0")}
+         |UNION ALL
+         |${counts(1, "p1")}
+         |UNION ALL
+         |${counts(2, "p2")}""".stripMargin
+    },
     "swap_mention_counts" -> OracleGen.mentionCountsSqlFor(DemoConceptStore.swappedConcepts),
     "swap_canonical" -> OracleGen.canonicalSqlFor(DemoConceptStore.swappedConcepts),
     "kg_vespa_concepts" -> OracleGen.vespaConceptsSql,
