@@ -66,10 +66,17 @@ object Dedup {
     val b = withBlock.as("b")
     val inter = graft.extract.SortedIntersect.sortedIntersectCount(col("a.sh"), col("b.sh"))
     a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      // single-eval of the merge loop — see verifyJaccard
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        (inter.cast("double") / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard")
+        inter.as("n_inter"),
+        (size(col("a.sh")) + size(col("b.sh"))).as("n_total")
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_total") - col("n_inter"))).as("jaccard")
       )
       .where(col("jaccard") >= threshold)
   }
@@ -135,7 +142,11 @@ object Dedup {
       threshold: Double,
       broadcastCandidates: Boolean = true
   ): DataFrame = {
-    val candIds = cand
+    // lazy local checkpoint: the candidate subtree (band self-join +
+    // distinct) feeds BOTH the id-prune below and the pair stream —
+    // materialize the bare id pairs once instead of running the join twice
+    val candCk = cand.localCheckpoint(false)
+    val candIds = candCk
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     // shingle arrays are sorted ONCE per candidate doc so the per-pair
@@ -149,13 +160,31 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_sort(shinglesFromTokens(col("toks"))).as("sh"))
     val inter = graft.extract.SortedIntersect.sortedIntersectCount(col("sh_a"), col("sh_b"))
-    cand
+    // The pair stream is CPU-dense but byte-light (16 B/row costing ~µs of
+    // merge work each), so AQE's byte-based partition coalescing collapses
+    // it to 1-2 partitions and the verification runs nearly single-core
+    // (measured 2.4 s -> 0.5 s at sf0.1). Pin the parallelism with an
+    // explicit round-robin repartition — user-specified repartitions are
+    // exempt from AQE coalescing, and shuffling the bare id pairs is
+    // trivial next to the merge work they fan out to.
+    val nPart = cand.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    candCk
+      .repartition(nPart)
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      // inter is bound in its own projection so the generated merge loop runs
+      // ONCE per pair — inlined codegen expressions are not subexpression-
+      // eliminated across the numerator and denominator of the jaccard ratio
       .select(
         col("doc_a"),
         col("doc_b"),
-        (inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard")
+        inter.as("n_inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("n_total")
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_total") - col("n_inter"))).as("jaccard")
       )
       .where(col("jaccard") >= threshold)
   }

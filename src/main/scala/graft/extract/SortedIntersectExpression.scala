@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 
@@ -24,13 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * (array_sort(array_distinct(...)) — one sort per DOC, amortized over all
   * its candidate pairs).
   *
-  * CodegenFallback: the loop body is UTF8String.compareTo — already
-  * compiled JVM code; the expression keeps the surrounding stage in
-  * whole-stage codegen like the other extraction expressions.
+  * Full doGenCode: the merge loop is emitted inline into the surrounding
+  * whole-stage-codegen stage, reading the two ArrayData locals directly. A
+  * CodegenFallback here forces the generated stage to materialize every
+  * input row (two ~55-string arrays copied into an UnsafeRow per candidate
+  * pair) just to call eval — measured ~3x the cost of the merge itself on
+  * the dedup_minhash verification stage.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -62,6 +64,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     n
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val c = ctx.freshName("cmp")
+        s"""
+           |int $i = 0;
+           |int $j = 0;
+           |final int $nx = $a.numElements();
+           |final int $ny = $b.numElements();
+           |${ev.value} = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { ${ev.value}++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+         """.stripMargin
+      }
+    )
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
