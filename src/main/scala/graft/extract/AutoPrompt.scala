@@ -29,12 +29,12 @@ import graft.eval.ConfusionMatrix
   * false positives share) — a real, improving optimization process with no
   * model runtime.
   *
-  * Spark-first shape: each trial's evaluation is ONE distributed
-  * aggregation over the validation passages (confusion counts, collected
-  * as a single row — the bounded model artifact the reference's
-  * evaluate_classifier also materializes); the validation-error rendering
-  * collects only the incorrect rows, exactly what the reference interpolates
-  * into the meta-prompt.
+  * Spark-first shape: each trial's evaluation is ONE distributed action —
+  * the collect of the trial's incorrect validation rows, exactly what the
+  * reference interpolates into the meta-prompt. The full confusion matrix
+  * is derived from those rows plus two once-computed corpus invariants
+  * (row count and gold-positive count), so no separate count-aggregate or
+  * cached join is needed per trial.
   */
 object AutoPrompt {
 
@@ -70,33 +70,45 @@ object AutoPrompt {
       beta: Double = 1.0
   ): (Prompt, Vector[Trial]) = {
     val labelled = passages.select("passage_id", "text", "gold").cache()
+    // corpus invariants, computed once: with these, every trial's full
+    // confusion matrix falls out of its collected INCORRECT rows alone
+    // (fn/fp counted directly, tp = nGold - fn, tn = nTotal - nGold - fp),
+    // so a trial is ONE distributed action instead of a count-aggregate
+    // plus a separate error-render collect over a cached join
+    val totalsRow = labelled
+      .agg(count(lit(1)).as("n"), sum(when(col("gold"), 1L).otherwise(0L)).as("g"))
+      .collect()(0)
+    val nTotal = totalsRow.getLong(0)
+    val nGold = totalsRow.getLong(1)
 
     def evaluate(index: Int, prompt: Prompt): (Trial, String) = {
       val pred = classifier.predict(spark, prompt, labelled)
       val joined = labelled
         .join(pred.select(col("passage_id"), col("predicted")), Seq("passage_id"))
-        .cache()
-      val row = joined
-        .agg(
-          sum(when(col("gold") && col("predicted"), 1L).otherwise(0L)),
-          sum(when(!col("gold") && col("predicted"), 1L).otherwise(0L)),
-          sum(when(!col("gold") && !col("predicted"), 1L).otherwise(0L)),
-          sum(when(col("gold") && !col("predicted"), 1L).otherwise(0L))
-        )
-        .collect()(0)
-      val cm = ConfusionMatrix(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-      // validation rendering (autollm.py:264-270): ALL incorrect rows, or a
-      // 10-row head sample when the trial is fully correct
-      val incorrect = joined.where(col("gold") =!= col("predicted"))
-      val shown =
-        if (cm.fp + cm.fn > 0) incorrect.orderBy("passage_id")
-        else joined.orderBy("passage_id").limit(10)
-      val rendered = shown
-        .select(concat_ws("\u0001", col("passage_id"), col("text"), col("gold"), col("predicted")))
+      val incorrectRows = joined
+        .where(col("gold") =!= col("predicted"))
+        .orderBy("passage_id")
+        .select(col("passage_id"), col("text"), col("gold"), col("predicted"))
         .collect()
-        .map(_.getString(0))
+      val fn = incorrectRows.count(_.getBoolean(2)).toLong
+      val fp = incorrectRows.length - fn
+      val cm = ConfusionMatrix(nGold - fn, fp, nTotal - nGold - fp, fn)
+      // validation rendering (autollm.py:264-270): ALL incorrect rows, or a
+      // 10-row head sample when the trial is fully correct (only that branch
+      // pays a second action)
+      val shownRows =
+        if (incorrectRows.nonEmpty) incorrectRows
+        else
+          joined
+            .orderBy("passage_id")
+            .limit(10)
+            .select(col("passage_id"), col("text"), col("gold"), col("predicted"))
+            .collect()
+      // same wire format concat_ws("\u0001", ...) produced: longs and
+      // booleans render as their canonical decimal / true-false strings
+      val rendered = shownRows
+        .map(r => s"${r.get(0)}\u0001${r.getString(1)}\u0001${r.getBoolean(2)}\u0001${r.getBoolean(3)}")
         .mkString("\n")
-      joined.unpersist()
       (Trial(index, prompt, cm, cm.fBeta(beta)), rendered)
     }
 
