@@ -260,6 +260,12 @@ object SparkEntry {
         threshold = 0.4, nProbe = 10)
       pairs
     }),
+    // SemDeDup-style semantic dedup: nearest-cell partition of the corpus,
+    // within-cell duplicate pairs, drop the member nearer its centroid
+    // (keep the diverse representative). Same session-cached codebook as
+    // the IVF rows; every vector gets a (cell, kept) verdict
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), ivfCodebook(s, dir), threshold = 0.4)),
     // ---- similarity search --------------------------------------------------
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), nQueries = 50, k = 10)),
     // the cell index (assigned) is the persisted ANN index: built once from
@@ -276,6 +282,7 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(docs(s, dir))),
     // rolling-hash content-defined chunking (partial-dup / delta primitive);
     // oracle = independent python chunker fixture joined on md5(text)
     "text_cdc" -> ((s, dir) =>
@@ -660,6 +667,30 @@ object SparkEntry {
     (universe.join(gold, Seq("passage_id"), "left"), universe.join(pred, Seq("passage_id"), "left"))
   }
 
+  /** Shared oracle CTE chain replicating the engine's IVF codebook EXACTLY:
+    * deterministic seeding (centroid c = embedding of vec_id c), one Lloyd
+    * refinement with quantized-integer means, then per-vector scores
+    * against the refined normalized centroids (`scored`: vec_id, cell,
+    * negd). Used by every codebook-derived oracle row (sim_ann_ivf,
+    * dedup_semantic) — must be a def-composed prefix, not copy-paste, so a
+    * codebook-procedure change cannot silently diverge between rows. */
+  private def ivfCodebookCtes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |seed AS (SELECT CAST(vec_id AS INT) AS cell, e FROM v WHERE vec_id < 16),
+      |cn0 AS (SELECT cell, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cn FROM seed),
+      |scored0 AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cn0 c),
+      |assign0 AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored0)
+      |  WHERE rn = 1),
+      |expl AS (SELECT a.cell, unnest(v.e) AS x, unnest(range(len(v.e))) AS pos
+      |         FROM assign0 a JOIN v ON a.vec_id = v.vec_id),
+      |sums AS (SELECT cell, pos, SUM(CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS n
+      |         FROM expl GROUP BY 1, 2),
+      |ref AS (SELECT cell, list((CAST(s AS DOUBLE) / n) / 1048576.0 ORDER BY pos) AS m FROM sums GROUP BY cell),
+      |cents1 AS (SELECT s.cell, COALESCE(r.m, s.e) AS m FROM seed s LEFT JOIN ref r ON s.cell = r.cell),
+      |cents AS (SELECT cell, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS cn FROM cents1),
+      |scored AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cents c)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "kg_transcripts" -> OracleGen.transcriptsSql,
     "kg_turns_ordered" -> OracleGen.turnsOrderedSql,
@@ -866,21 +897,7 @@ object SparkEntry {
     // x / sqrt(dot(e,e))), same argmin/probe ranking, same cosine scoring —
     // every float op is a sequential fold
     "sim_ann_ivf" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |seed AS (SELECT CAST(vec_id AS INT) AS cell, e FROM v WHERE vec_id < 16),
-        |cn0 AS (SELECT cell, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cn FROM seed),
-        |scored0 AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cn0 c),
-        |assign0 AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored0)
-        |  WHERE rn = 1),
-        |expl AS (SELECT a.cell, unnest(v.e) AS x, unnest(range(len(v.e))) AS pos
-        |         FROM assign0 a JOIN v ON a.vec_id = v.vec_id),
-        |sums AS (SELECT cell, pos, SUM(CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS n
-        |         FROM expl GROUP BY 1, 2),
-        |ref AS (SELECT cell, list((CAST(s AS DOUBLE) / n) / 1048576.0 ORDER BY pos) AS m FROM sums GROUP BY cell),
-        |cents1 AS (SELECT s.cell, COALESCE(r.m, s.e) AS m FROM seed s LEFT JOIN ref r ON s.cell = r.cell),
-        |cents AS (SELECT cell, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS cn FROM cents1),
-        |scored AS (SELECT v.vec_id, c.cell, -list_dot_product(v.e, c.cn) AS negd FROM v, cents c),
+      s"""WITH $ivfCodebookCtes,
         |assign AS (SELECT vec_id, cell FROM (
         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored)
         |  WHERE rn = 1),
@@ -918,6 +935,26 @@ object SparkEntry {
         |FROM batch a JOIN idx b ON a.vec_id <> b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
         |  AND NOT (b.vec_id % 5 = 0 AND b.vec_id < 1000 AND b.vec_id < a.vec_id)""".stripMargin,
+    // SemDeDup greedy keep/drop: pr carries each vector's assigned cell and
+    // centroid-cosine priority; a vector is dropped iff a within-cell
+    // duplicate partner has lower (c2c, id) — with pairs oriented id_a <
+    // id_b, the c2c tie drops id_b, matching the engine exactly
+    "dedup_semantic" ->
+      s"""WITH $ivfCodebookCtes,
+        |assign AS (SELECT vec_id, cell, negd FROM (
+        |  SELECT vec_id, cell, negd, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored)
+        |  WHERE rn = 1),
+        |pr AS (SELECT a.vec_id, a.cell, -a.negd / sqrt(list_dot_product(v.e, v.e)) AS c2c
+        |       FROM assign a JOIN v ON v.vec_id = a.vec_id),
+        |pairs AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.c2c AS ca, y.c2c AS cb
+        |  FROM pr x JOIN pr y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  JOIN v va ON va.vec_id = x.vec_id JOIN v vb ON vb.vec_id = y.vec_id
+        |  WHERE list_dot_product(va.e, vb.e)
+        |          / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4),
+        |dropped AS (SELECT DISTINCT CASE WHEN ca <= cb THEN id_b ELSE id_a END AS vec_id FROM pairs)
+        |SELECT p.vec_id, p.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM pr p LEFT JOIN dropped d ON p.vec_id = d.vec_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
@@ -948,6 +985,26 @@ object SparkEntry {
         |  ])).l AS predicted_lang,
         |  CAST(lang AS VARCHAR) AS declared_lang
         |FROM t""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 2, unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) FROM t WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3, unnest(list_transform(range(len(toks) - 2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, n, SUM(c) AS total, MAX(c) AS mx, COUNT(*) AS uniq FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  COALESCE(CAST(MAX(CASE WHEN n = 1 THEN mx END) AS DOUBLE)
+        |    / MAX(CASE WHEN n = 1 THEN total END), 0.0) AS top_unigram_frac,
+        |  COALESCE(CAST(MAX(CASE WHEN n = 2 THEN mx END) AS DOUBLE)
+        |    / MAX(CASE WHEN n = 2 THEN total END), 0.0) AS top_bigram_frac,
+        |  COALESCE(CAST(MAX(CASE WHEN n = 3 THEN total END) - MAX(CASE WHEN n = 3 THEN uniq END) AS DOUBLE)
+        |    / MAX(CASE WHEN n = 3 THEN total END), 0.0) AS dup_trigram_frac
+        |FROM p GROUP BY doc_id""".stripMargin,
     "text_cdc" ->
       s"""SELECT d.doc_id, f.chunk_idx, f.start, f."end", f.chunk_md5
         |FROM documents d

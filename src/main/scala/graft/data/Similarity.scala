@@ -301,4 +301,53 @@ object Similarity {
       .where(col("score") >= threshold)
       .select("doc_a", "doc_b")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign every
+    * vector to its nearest codebook cell (map-only argmin over the literal
+    * codebook — no shuffle), find within-cell pairs above the cosine
+    * threshold, and for each such pair DROP the member that sits closer to
+    * the cell centroid — SemDeDup keeps the lowest-centroid-similarity
+    * representative to preserve diversity. The keep/drop rule is the greedy
+    * dominance variant (a vector is dropped iff some within-cell duplicate
+    * partner has strictly lower (centroid-cosine, id)) — deterministic,
+    * single-pass, no connected-components iteration; compose with
+    * ConnectedComponents when exact duplicate GROUPS are needed.
+    *
+    * Output: (vec_id, cell, kept 1/0) for every input vector.
+    *
+    * Scale posture: the within-cell pair join keys on `cell`, so its
+    * parallelism AND its quadratic cost are bounded by cell population —
+    * nCells is the scale knob and must grow ~corpus/targetCellSize (the
+    * codebook stays a driver artifact at any realistic cell count; 100k
+    * cells x 64 dims is ~50 MB broadcast). Centroid-cosine priorities are
+    * computed once per vector, not per pair. */
+  def semanticDedup(
+      emb: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      threshold: Double = 0.4
+  ): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val best = array_min(cellStructs(col("v"), cents))
+    // lazy local checkpoint: the assignment feeds both sides of the
+    // within-cell join plus the final keep/drop left join
+    val assigned = v
+      .select(col("vec_id"), col("v"), best.getField("cell").as("cell"), best.getField("negd").as("negd"))
+      .select(col("vec_id"), col("v"), col("cell"), (-col("negd") / norm(col("v"))).as("c2c"))
+      .localCheckpoint(false)
+    val a = assigned.select(col("vec_id").as("id_a"), col("v").as("va"), col("cell"), col("c2c").as("ca"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"), col("cell"), col("c2c").as("cb"))
+    val dropped = a
+      .join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      // pair orientation has id_a < id_b, so the c2c tie resolves to
+      // dropping the higher id — deterministic in both engines
+      .select(when(col("ca") < col("cb") || col("ca") === col("cb"), col("id_b"))
+        .otherwise(col("id_a"))
+        .as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("d").isNull.cast("int").as("kept"))
+  }
 }

@@ -55,6 +55,51 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("fingerprint")
     )
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1) — the
+    * repetition family of quality filters for training-data curation:
+    *
+    *  - top_unigram_frac / top_bigram_frac: fraction of all n-gram
+    *    occurrences taken by the single most frequent n-gram,
+    *  - dup_trigram_frac: fraction of trigram occurrences that are repeats
+    *    ((total - distinct) / total).
+    *
+    * One pass: the three gram sizes explode together (tagged structs, WITH
+    * multiplicity — unlike the dedup shingles, repetition needs duplicate
+    * occurrences), one (doc, n, gram) count aggregate with map-side partial
+    * combine, then two tiny per-doc rollups. All fractions are long/long
+    * divisions — order-deterministic, so the oracle can hash-compare them.
+    * Docs shorter than n tokens score 0.0 for that n. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def grams(n: Int) =
+      when(
+        size(col("toks")) >= n,
+        transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i =>
+            struct(
+              lit(n).as("n"),
+              concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*).as("g"))
+        )
+      ).otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val counted = withToks
+      .select(col("doc_id"), explode(concat(grams(1), grams(2), grams(3))).as("ng"))
+      .groupBy(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val perN = counted
+      .groupBy("doc_id", "n")
+      .agg(sum("c").as("total"), max("c").as("mx"), count(lit(1)).as("uniq"))
+    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    perN
+      .groupBy("doc_id")
+      .agg(
+        coalesce(pick(1, "mx").cast("double") / pick(1, "total"), lit(0.0)).as("top_unigram_frac"),
+        coalesce(pick(2, "mx").cast("double") / pick(2, "total"), lit(0.0)).as("top_bigram_frac"),
+        coalesce((pick(3, "total") - pick(3, "uniq")).cast("double") / pick(3, "total"), lit(0.0))
+          .as("dup_trigram_frac")
+      )
+  }
+
   /** Heuristic language id via stopword-profile voting (pure column plan:
     * per-language distinctive-word hit counts, argmax). A real n-gram model
     * would be a broadcast lookup table; the plumbing is identical. */

@@ -240,6 +240,55 @@ class DataOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("semantic dedup: verdict for every vector; drops are justified and dominance-consistent") {
+    val cb = Similarity.ivfCentroids(emb)
+    val out = Similarity.semanticDedup(emb, cb, threshold = 0.4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == emb.count(), "one keep/drop verdict per input vector")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val dropped = rows.filter(_._3 == 0).map(_._1).toSet
+    assert(dropped.nonEmpty, "corpus should contain planted semantic duplicates")
+    assert(rows.exists(_._3 == 1))
+    // re-derive priorities + within-cell cosines independently and check the
+    // greedy dominance rule: dropped iff some same-cell partner with
+    // cosine >= tau has strictly lower (c2c, id)
+    val vecs = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]) = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]) = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cn = cb.map { case (c, v) =>
+      val arr = v.toArray; val n = math.sqrt(arr.map(x => x * x).sum); (c, arr.map(_ / n))
+    }.toMap
+    val byCell = rows.groupBy(_._2)
+    rows.foreach { case (id, cell, kept) =>
+      val v = vecs(id)
+      val c2c = dot(v, cn(cell)) / math.sqrt(dot(v, v))
+      val hasDominator = byCell(cell).exists { case (oid, _, _) =>
+        oid != id && cos(vecs(oid), v) >= 0.4 && {
+          val o = vecs(oid)
+          val oc2c = dot(o, cn(cell)) / math.sqrt(dot(o, o))
+          oc2c < c2c || (oc2c == c2c && oid < id)
+        }
+      }
+      assert((kept == 0) == hasDominator, s"vector $id kept=$kept but dominance says ${!hasDominator}")
+    }
+  }
+
+  test("repetition metrics: exact fractions on hand-built texts") {
+    val d = Seq(
+      (1L, "a a a b"), // top1 = 3/4; bigrams: "a a","a a","a b" -> top2 2/3; trigrams "a a a","a a b" -> dup 0/2
+      (2L, "x y x y x y"), // top1 3/6; bigrams x y,y x,x y,y x,x y -> top2 3/5; trigrams 4 total 2 uniq -> dup 2/4
+      (3L, "q w") // no trigrams -> dup3 = 0.0
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis
+      .repetitionMetrics(d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(m(1L) == ((3.0 / 4, 2.0 / 3, 0.0)))
+    assert(m(2L) == ((3.0 / 6, 3.0 / 5, 2.0 / 4)))
+    assert(m(3L) == ((1.0 / 2, 1.0 / 1, 0.0)))
+  }
+
   test("dot_product codegen expression: bit-exact vs the HOF fold, null semantics mirrored") {
     import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
     import graft.extract.DotProductExpression.dotProduct

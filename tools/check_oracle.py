@@ -16,13 +16,19 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 SKIP_SPARK = "--skip-spark" in sys.argv
+# --only=a,b,c restricts both the Spark dump and the compare to a subset
+ONLY = set()
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = {x.strip() for x in a[len("--only="):].split(",") if x.strip()}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def run_verify():
+    only = (" " + ",".join(sorted(ONLY))) if ONLY else ""
     subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{only}'],
         check=True, cwd="/root/repo",
     )
 
@@ -53,6 +59,8 @@ def main():
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
     failures = []
     for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
         pq = Path(f"{OUT_DIR}/{name}")
         if not pq.exists():
             failures.append((name, "spark output missing"))
@@ -78,7 +86,8 @@ def main():
             print(f"OK   {name}  ({len(g)} rows)")
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
+    n = len(ONLY & set(oracle)) if ONLY else len(oracle)
+    print(f"\n{n - len(failures)}/{n} oracle queries match")
     sys.exit(1 if failures else 0)
 
 
