@@ -330,16 +330,20 @@ object Similarity {
     val best = array_min(cellStructs(col("v"), cents))
     // lazy local checkpoint: the assignment feeds both sides of the
     // within-cell join plus the final keep/drop left join
+    // norms are hoisted per VECTOR (the pair-join condition would otherwise
+    // re-fold both 64-element self-dots per PAIR — O(pairs x dim) work that
+    // is per-vector by nature); the cosine value is unchanged, so oracle
+    // parity holds
     val assigned = v
-      .select(col("vec_id"), col("v"), best.getField("cell").as("cell"), best.getField("negd").as("negd"))
-      .select(col("vec_id"), col("v"), col("cell"), (-col("negd") / norm(col("v"))).as("c2c"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"), best.getField("cell").as("cell"), best.getField("negd").as("negd"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), (-col("negd") / col("nrm")).as("c2c"))
       .localCheckpoint(false)
-    val a = assigned.select(col("vec_id").as("id_a"), col("v").as("va"), col("cell"), col("c2c").as("ca"))
-    val b = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"), col("cell"), col("c2c").as("cb"))
+    val a = assigned.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("cell"), col("c2c").as("ca"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("cell"), col("c2c").as("cb"))
     val dropped = a
       .join(b, "cell")
       .where(col("id_a") < col("id_b"))
-      .where(cosine(col("va"), col("vb")) >= threshold)
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       // pair orientation has id_a < id_b, so the c2c tie resolves to
       // dropping the higher id — deterministic in both engines
       .select(when(col("ca") < col("cb") || col("ca") === col("cb"), col("id_b"))

@@ -70,7 +70,15 @@ object TextAnalysis {
     * divisions — order-deterministic, so the oracle can hash-compare them.
     * Docs shorter than n tokens score 0.0 for that n. */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val withToks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // one explicit repartition on doc_id up front, BEFORE the 3x-gram
+    // explode: hash partitioning on doc_id satisfies the clustered
+    // distribution of every downstream rollup ((doc,n,g), (doc,n), (doc)),
+    // so the whole metric computes with a single shuffle of the raw doc
+    // rows — the alternative (map-side partial aggs) shuffles (doc,n,gram)
+    // count rows, which outweigh the text itself ~3x
+    val withToks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
     def grams(n: Int) =
       when(
         size(col("toks")) >= n,
