@@ -109,13 +109,21 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id) — scores are compared exactly
     * during ranking but not emitted (floating-point display stability). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 50, k: Int = 10): DataFrame = {
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("v"))
+    // norms hoisted per vector: the pair loop pays one dot instead of three
+    // (values identical — norm is per-vector by nature)
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("v"),
+      norm(asDouble(col("embedding"))).as("nrm"))
     val queries = emb
       .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+      .select(
+        col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q"),
+        norm(asDouble(col("embedding"))).as("qn"))
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q"), col("v")).as("score"))
+      .select(col("query_id"), col("neighbor_id"), (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -179,9 +187,13 @@ object Similarity {
       .select(col("query_id"), col("q"), col("p.cell").as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     assigned
-      .join(broadcast(probes), "cell")
+      .withColumn("nrm", norm(col("v"))) // per index row, not per candidate
+      .join(broadcast(probes.withColumn("qn", norm(col("q")))), "cell")
       .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine(col("q"), col("v")).as("score"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -238,10 +250,11 @@ object Similarity {
     val vecs = emb
       .join(broadcast(candIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))) // hoisted per vector, not per pair
     cand
-      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
-      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
-      .where(cosine(col("va"), col("vb")) >= threshold)
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("doc_a", "doc_b")
   }
 
@@ -279,10 +292,11 @@ object Similarity {
     val vecs = allEmb
       .join(broadcast(candIds), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))) // hoisted per vector, not per pair
     val pairs = cand
-      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
-      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
-      .where(cosine(col("va"), col("vb")) >= threshold)
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("doc_a", "doc_b")
     (pairs, batchProbes)
   }
@@ -291,13 +305,19 @@ object Similarity {
     * (query_ids) vs the whole corpus — O(queries x corpus) broadcast NLJ,
     * kept as the exact baseline; embeddingNearDupsIvf is the scale path. */
   def embeddingNearDups(emb: DataFrame, nQueries: Int = 200, threshold: Double = 0.95): DataFrame = {
-    val corpus = emb.select(col("vec_id").as("doc_b"), asDouble(col("embedding")).as("v"))
+    val corpus = emb.select(
+      col("vec_id").as("doc_b"),
+      asDouble(col("embedding")).as("v"),
+      norm(asDouble(col("embedding"))).as("nrm"))
     val queries = emb
       .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("doc_a"), asDouble(col("embedding")).as("q"))
+      .select(
+        col("vec_id").as("doc_a"),
+        asDouble(col("embedding")).as("q"),
+        norm(asDouble(col("embedding"))).as("qn"))
     corpus
       .join(broadcast(queries), col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), cosine(col("q"), col("v")).as("score"))
+      .select(col("doc_a"), col("doc_b"), (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("score"))
       .where(col("score") >= threshold)
       .select("doc_a", "doc_b")
   }
