@@ -283,6 +283,21 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(docs(s, dir))),
+    // benchmark decontamination: training docs (doc_id%10<>0) scored by the
+    // fraction of their distinct 8-gram shingles appearing anywhere in the
+    // doc_id%10==0 "benchmark" slice — the n-gram-containment sibling of
+    // F8's exact-text exclusion
+    "dedup_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0),
+        n = 8,
+        minFrac = 0.3)
+    }),
+    // training-example packing: two-level distributed prefix sum over each
+    // source's token stream, cut into fixed 64-token examples
+    "data_pack" -> ((s, dir) => graft.data.Packing.packExamples(docs(s, dir), seqLen = 64)),
     // rolling-hash content-defined chunking (partial-dup / delta primitive);
     // oracle = independent python chunker fixture joined on md5(text)
     "text_cdc" -> ((s, dir) =>
@@ -1005,6 +1020,32 @@ object SparkEntry {
         |  COALESCE(CAST(MAX(CASE WHEN n = 3 THEN total END) - MAX(CASE WHEN n = 3 THEN uniq END) AS DOUBLE)
         |    / MAX(CASE WHEN n = 3 THEN total END), 0.0) AS dup_trigram_frac
         |FROM p GROUP BY doc_id""".stripMargin,
+    // oracle recomputes containment with a plain shingle equi-join; the
+    // LEFT join + coalesce(0) branch is exercised only by fully-clean docs,
+    // which the >= minFrac filter drops in both engines
+    "dedup_contamination" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_transform(range(len(string_split(text, ' ')) - 7),
+        |    i -> list_aggregate(string_split(text, ' ')[i+1:i+8], 'string_agg', ' '))) AS g
+        |  FROM documents WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 8),
+        |tr AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(string_split(text, ' ')) - 7),
+        |    i -> list_aggregate(string_split(text, ' ')[i+1:i+8], 'string_agg', ' '))) AS sh
+        |  FROM documents WHERE doc_id % 10 <> 0 AND len(string_split(text, ' ')) >= 8),
+        |x AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM tr)
+        |SELECT x.doc_id, CAST(x.n_shingles AS BIGINT) AS n_shingles, COUNT(ev.g) AS n_overlap
+        |FROM x LEFT JOIN ev ON x.g = ev.g
+        |GROUP BY x.doc_id, x.n_shingles
+        |HAVING CAST(COUNT(ev.g) AS DOUBLE) / x.n_shingles >= 0.3""".stripMargin,
+    "data_pack" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, source, n,
+        |        SUM(n) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, CAST(cum - n AS BIGINT) AS begin_offset,
+        |       CAST((cum - n) // 64 AS BIGINT) AS first_bin,
+        |       CAST((cum - 1) // 64 AS BIGINT) AS last_bin
+        |FROM c""".stripMargin,
     "text_cdc" ->
       s"""SELECT d.doc_id, f.chunk_idx, f.start, f."end", f.chunk_md5
         |FROM documents d

@@ -249,6 +249,40 @@ object Dedup {
     (verifyJaccard(cand, allDocs, threshold), batchSigs)
   }
 
+  /** Benchmark decontamination (the GPT-3 §C / PaLM posture: flag training
+    * documents that CONTAIN benchmark n-grams, rather than exact-text
+    * equality — F8's excludeTrainingTexts is the exact-match sibling). A
+    * training doc is scored by the fraction of its distinct word n-grams
+    * that appear anywhere in the eval corpus; rows at or above `minFrac`
+    * are the contamination report.
+    *
+    * Scale shape: the eval side is a benchmark suite — tiny next to the
+    * training corpus — so its distinct shingle set broadcasts and the
+    * training side never shuffles: explode, broadcast left join, one
+    * hash re-aggregation keyed by doc_id. Training-side shingle arrays are
+    * never carried through a join. */
+  def contamination(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 8,
+      minFrac: Double = 0.3
+  ): DataFrame = {
+    val evalSh = evalDocs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(shinglesFromTokens(col("toks"), n)).as("g"))
+      .distinct()
+    val trainSh = train
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
+    trainSh
+      .join(broadcast(evalSh.withColumn("m", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(coalesce(sum(col("m")), lit(0L)).as("n_overlap"))
+      .where(col("n_overlap").cast("double") / col("n_shingles") >= minFrac)
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"), col("n_overlap"))
+  }
+
   /** Deterministic 60-bit token hash reproducible in DuckDB SQL: the first
     * 15 hex chars of md5, parsed base-16 (fits a signed long without
     * overflow). Used by the oracle-checked simhash variant — the production

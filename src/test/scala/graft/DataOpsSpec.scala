@@ -289,6 +289,47 @@ class DataOpsSpec extends AnyFunSuite {
     assert(m(3L) == ((1.0 / 2, 1.0 / 1, 0.0)))
   }
 
+  test("contamination: exact fractions on hand-built train/eval docs") {
+    val eva = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val train = Seq(
+      // 10 tokens -> 3 distinct 8-grams; the first two appear in eval -> 2/3
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q0"), // clean -> dropped
+      (3L, "short text") // < 8 tokens -> no shingles -> no row
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .contamination(train, eva, n = 8, minFrac = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2L)))
+    // threshold boundary: 2/3 < 0.7 drops it
+    assert(Dedup.contamination(train, eva, n = 8, minFrac = 0.7).count() == 0)
+  }
+
+  test("packExamples: two-level prefix sum == naive single-window cumsum") {
+    val naive = {
+      val t = docs.select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy("doc_id")
+      t.withColumn("begin_offset", sum(col("n")).over(w) - col("n"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("begin_offset"),
+          expr("begin_offset DIV 64").as("first_bin"),
+          expr("(begin_offset + n - 1) DIV 64").as("last_bin"))
+    }
+    // tiny bucket size forces many buckets so the two-level path is real
+    val packed = graft.data.Packing.packExamples(docs, seqLen = 64, bucketSize = 16L)
+    assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty)
+    val one = packed.where(col("doc_id") === 0).collect()(0)
+    assert(one.getLong(2) == 0L && one.getLong(3) == 0L) // first doc of its source starts at 0
+  }
+
   test("dot_product codegen expression: bit-exact vs the HOF fold, null semantics mirrored") {
     import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
     import graft.extract.DotProductExpression.dotProduct
