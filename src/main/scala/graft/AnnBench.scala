@@ -87,8 +87,14 @@ object AnnBench {
     val hit = exact.intersect(ivf).count()
     val recall = hit.toDouble / exactRows
 
+    // SemDeDup leg on the same codebook: the within-cell pair space is
+    // (n/nCells)^2 per cell, so nCells directly bounds the quadratic —
+    // this measures that claim at bench scale
+    val (semDropped, semSec) = best3(
+      Similarity.semanticDedup(emb, cents, threshold = 0.9).where(col("kept") === 0).count())
+
     val json =
-      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows}"""
+      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows,"semdedup_sec":$semSec%.3f,"semdedup_dropped":$semDropped}"""
     println(json)
     spark.stop()
   }
