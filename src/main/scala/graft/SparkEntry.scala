@@ -298,6 +298,31 @@ object SparkEntry {
     // training-example packing: two-level distributed prefix sum over each
     // source's token stream, cut into fixed 64-token examples
     "data_pack" -> ((s, dir) => graft.data.Packing.packExamples(docs(s, dir), seqLen = 64)),
+    // end-to-end curation pipeline COMPOSITION: exact dedup (keep min id per
+    // content hash) -> MinHash near-dup drop (drop the greater id of every
+    // pair) -> quality gate (>= 20 tokens, top-unigram occupancy <= 0.2,
+    // reusing repetitionMetrics) -> pack survivors into 64-token examples.
+    // One declarative plan; proves the curation operators compose
+    "pipeline_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val keep1 = d
+        .withColumn("__rep", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") === col("__rep"))
+        .drop("__rep")
+      val sigs = Dedup.minhashSignatures(keep1, k = 32).localCheckpoint()
+      val nearDups = Dedup
+        .minhashPairs(keep1, threshold = 0.5, bands = 32, rowsPerBand = 1, preSigs = Some(sigs))
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      val keep2 = keep1.join(nearDups, Seq("doc_id"), "left_anti")
+      val keep3 = keep2
+        .join(
+          TextAnalysis.repetitionMetrics(keep2).select(col("doc_id"), col("top_unigram_frac")),
+          "doc_id")
+        .where(size(split(col("text"), " ")) >= 20 && col("top_unigram_frac") <= 0.2)
+      graft.data.Packing.packExamples(keep3, seqLen = 64)
+    }),
     // rolling-hash content-defined chunking (partial-dup / delta primitive);
     // oracle = independent python chunker fixture joined on md5(text)
     "text_cdc" -> ((s, dir) =>
@@ -1037,6 +1062,37 @@ object SparkEntry {
         |FROM x LEFT JOIN ev ON x.g = ev.g
         |GROUP BY x.doc_id, x.n_shingles
         |HAVING CAST(COUNT(ev.g) AS DOUBLE) / x.n_shingles >= 0.3""".stripMargin,
+    // oracle re-derives the whole curation chain independently: window
+    // dedup, exact count-based all-pairs Jaccard (the banding-free ground
+    // truth), unigram occupancy, then the single-window packing twin
+    "pipeline_curate" ->
+      s"""WITH keep1 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+        |sh AS (SELECT doc_id, ${graft.data.DedupOracles.shinglesExpr} AS sh FROM keep1),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |neardup AS (SELECT DISTINCT doc_b AS doc_id
+        |            FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |keep2 AS (SELECT k.* FROM keep1 k LEFT JOIN neardup d USING (doc_id) WHERE d.doc_id IS NULL),
+        |tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM keep2),
+        |tf AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM (
+        |         SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(toks) AS g FROM tok) GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |keep3 AS (SELECT t.doc_id, t.source, len(t.toks) AS n
+        |          FROM tok t JOIN tf USING (doc_id)
+        |          WHERE len(t.toks) >= 20 AND CAST(tf.mx AS DOUBLE) / tf.tot <= 0.2),
+        |c AS (SELECT doc_id, source, n,
+        |        SUM(n) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM keep3)
+        |SELECT doc_id, source, CAST(cum - n AS BIGINT) AS begin_offset,
+        |       CAST((cum - n) // 64 AS BIGINT) AS first_bin,
+        |       CAST((cum - 1) // 64 AS BIGINT) AS last_bin
+        |FROM c""".stripMargin,
     "data_pack" ->
       """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
         |c AS (SELECT doc_id, source, n,
