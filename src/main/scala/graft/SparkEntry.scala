@@ -295,6 +295,11 @@ object SparkEntry {
         n = 8,
         minFrac = 0.3)
     }),
+    // substring-level exact dedup (Lee et al. 2021): maximal token ranges
+    // whose every 20-token window appears verbatim elsewhere in the corpus
+    // — the grain document-level hashing cannot see. Engine matches windows
+    // by O(n) rolling hashes; the oracle by the actual window strings
+    "dedup_substring" -> ((s, dir) => Dedup.duplicatedWindowRanges(docs(s, dir), width = 20)),
     // training-example packing: two-level distributed prefix sum over each
     // source's token stream, cut into fixed 64-token examples
     "data_pack" -> ((s, dir) => graft.data.Packing.packExamples(docs(s, dir), seqLen = 64)),
@@ -1045,6 +1050,29 @@ object SparkEntry {
         |  COALESCE(CAST(MAX(CASE WHEN n = 3 THEN total END) - MAX(CASE WHEN n = 3 THEN uniq END) AS DOUBLE)
         |    / MAX(CASE WHEN n = 3 THEN total END), 0.0) AS dup_trigram_frac
         |FROM p GROUP BY doc_id""".stripMargin,
+    // oracle re-derives duplicated ranges from the ACTUAL 20-token window
+    // strings (no hashing): any window string seen twice marks its [pos,
+    // pos+20) token range; overlapping-or-touching hits merge via
+    // gaps-and-islands (window starts are unique per doc, so lag(pos) is
+    // the running max end)
+    "dedup_substring" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+20], ' ') AS win
+        |      FROM (SELECT doc_id, t, unnest(range(len(t) - 19)) AS i FROM tok WHERE len(t) >= 20)),
+        |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+        |hits AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+        |lagged AS (SELECT doc_id, pos,
+        |             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 20
+        |                  THEN 1 ELSE 0 END AS new_range
+        |           FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(new_range) OVER (PARTITION BY doc_id ORDER BY pos
+        |                               ROWS UNBOUNDED PRECEDING) AS range_id
+        |        FROM lagged)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS dup_start,
+        |       CAST(MAX(pos) + 20 AS BIGINT) AS dup_end,
+        |       CAST(MAX(pos) + 20 - MIN(pos) AS BIGINT) AS dup_len
+        |FROM isl GROUP BY doc_id, range_id""".stripMargin,
     // oracle recomputes containment with a plain shingle equi-join; the
     // LEFT join + coalesce(0) branch is exercised only by fully-clean docs,
     // which the >= minFrac filter drops in both engines

@@ -397,4 +397,69 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
     (pairs, batchSigs)
   }
+
+  /** Substring-level exact dedup (the Lee et al. 2021 "deduplicating
+    * training data" posture): find every maximal token range whose every
+    * `width`-token window appears verbatim somewhere else in the corpus
+    * (another document OR another position of the same document). Returns
+    * one row per maximal duplicated range: (doc_id, dup_start, dup_end,
+    * dup_len) in 0-based token offsets, end exclusive. Callers cut or drop
+    * these ranges to de-duplicate at the substring grain that document-level
+    * hashing (exact/MinHash/SimHash) cannot see — boilerplate headers,
+    * quoted replies, licence blocks.
+    *
+    * Scale shape: the corpus is scanned twice, shuffled once.
+    *   1. TokenWindowHashes emits one (pos, 64-bit hash) per token in a
+    *      single O(n) rolling pass — the shuffle carries ~20 B/token, never
+    *      the W-token window strings.
+    *   2. One hash aggregation (map-side partial counts) finds hashes seen
+    *      more than once — on a deduplicated-ish corpus this set is small
+    *      and broadcasts; on a dup-dominated corpus pass
+    *      `broadcastDupHashes = false` for a shuffle semi-join (same plan
+    *      otherwise — the verifyJaccard contract).
+    *   3. The second scan semi-joins windows against the dup-hash set
+    *      map-side, then a per-doc window function merges overlapping or
+    *      touching windows into maximal ranges (new range iff
+    *      pos > prev_pos + width on the sorted hits — window starts are
+    *      unique per doc, so lag(pos) is the running max end). Hits are a
+    *      tiny fraction of the corpus, so the per-doc sort is cheap.
+    */
+  def duplicatedWindowRanges(
+      docs: DataFrame,
+      width: Int = 20,
+      broadcastDupHashes: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def wins =
+      docs
+        .select(
+          col("doc_id"),
+          explode(graft.extract.TokenWindowHashes.tokenWindowHashes(col("text"), width)).as("w")
+        )
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dupH = wins
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select("h")
+    val hits = wins
+      .join(if (broadcastDupHashes) broadcast(dupH) else dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      // first row per doc: lag is null -> condition null -> otherwise(0)
+      .withColumn(
+        "new_range",
+        when(col("pos") > lag(col("pos"), 1).over(byPos) + width, 1).otherwise(0)
+      )
+      .withColumn("range_id", sum(col("new_range")).over(byPos))
+      .groupBy("doc_id", "range_id")
+      .agg(min(col("pos")).as("dup_start"), (max(col("pos")) + width).as("dup_end"))
+      .select(
+        col("doc_id"),
+        col("dup_start").cast("long").as("dup_start"),
+        col("dup_end").cast("long").as("dup_end"),
+        (col("dup_end") - col("dup_start")).cast("long").as("dup_len")
+      )
+  }
 }

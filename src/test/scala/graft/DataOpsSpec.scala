@@ -368,4 +368,72 @@ class DataOpsSpec extends AnyFunSuite {
       .collect()(0)
     assert(nullRow.isNullAt(0))
   }
+
+  test("substring dedup: maximal duplicated token ranges on hand-built docs") {
+    val shared20 = (0 until 20).map(i => s"t$i").mkString(" ")
+    val shared22 = (0 until 22).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      // cross-doc 20-token repeat, embedded mid-doc vs at the start
+      (1L, s"p0 p1 p2 p3 p4 $shared20 q0 q1 q2 q3 q4"),
+      (2L, shared20),
+      // within-doc repeat of the same 20 tokens (counts — any second
+      // occurrence anywhere in the corpus marks the window)
+      (3L, s"$shared20 z0 z1 z2 z3 z4 $shared20"),
+      // 22-token cross-doc repeat: three overlapping hit windows per doc
+      // must merge into one maximal range
+      (4L, s"$shared22 u0 u1 u2 u3 u4"),
+      (5L, s"v0 $shared22"),
+      // too short / no repeats: no rows
+      (6L, "w0 w1"),
+      (7L, (0 until 30).map(i => s"only$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .duplicatedWindowRanges(d, width = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(
+      got == Set(
+        (1L, 5L, 25L, 20L),
+        (2L, 0L, 20L, 20L),
+        (3L, 0L, 20L, 20L),
+        (3L, 25L, 45L, 20L),
+        (4L, 0L, 22L, 22L),
+        (5L, 1L, 23L, 22L)
+      ))
+  }
+
+  test("substring dedup: rolling window hashes mark exactly the string-equal windows") {
+    import graft.extract.TokenWindowHashes.tokenWindowHashes
+    // engine hit set: windows whose 64-bit rolling hash occurs > once
+    def hitSet(keyed: org.apache.spark.sql.DataFrame) = {
+      val dup = keyed.groupBy("k").agg(count(lit(1)).as("c")).where($"c" > 1).select("k")
+      keyed
+        .join(dup, Seq("k"), "left_semi")
+        .select("doc_id", "pos")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .toSet
+    }
+    val byHash = docs
+      .select($"doc_id", explode(tokenWindowHashes($"text", 20)).as("w"))
+      .select($"doc_id", $"w.pos".as("pos"), $"w.h".as("k"))
+    // ground truth: the actual 20-token window strings
+    val byString = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .where(size($"t") >= 20)
+      .select(
+        $"doc_id",
+        explode(
+          transform(
+            sequence(lit(0), size($"t") - 20),
+            i => struct(i.as("pos"), concat_ws(" ", slice($"t", i + 1, lit(20))).as("k"))
+          )).as("w")
+      )
+      .select($"doc_id", $"w.pos".as("pos"), $"w.k".as("k"))
+    val h = hitSet(byHash)
+    val s = hitSet(byString)
+    assert(h == s, s"hash-only=${(h -- s).take(5)} string-only=${(s -- h).take(5)}")
+    assert(s.nonEmpty, "corpus should contain duplicated 20-token windows")
+  }
 }
