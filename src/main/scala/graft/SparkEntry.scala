@@ -300,6 +300,18 @@ object SparkEntry {
     // — the grain document-level hashing cannot see. Engine matches windows
     // by O(n) rolling hashes; the oracle by the actual window strings
     "dedup_substring" -> ((s, dir) => Dedup.duplicatedWindowRanges(docs(s, dir), width = 20)),
+    // substring-dedup batch ingest: the doc_id%5==0 batch against the
+    // persisted window-hash index of the rest — old corpus text never
+    // re-tokenized; result == full run restricted to batch ∪ affected docs
+    "dedup_substring_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldIdx = Dedup
+        .windowHashRows(d.where(col("doc_id") % 5 =!= 0), width = 20)
+        .localCheckpoint()
+      val (ranges, _) =
+        Dedup.duplicatedWindowRangesIncremental(d.where(col("doc_id") % 5 === 0), oldIdx, width = 20)
+      ranges
+    }),
     // training-example packing: two-level distributed prefix sum over each
     // source's token stream, cut into fixed 64-token examples
     "data_pack" -> ((s, dir) => graft.data.Packing.packExamples(docs(s, dir), seqLen = 64)),
@@ -1061,6 +1073,32 @@ object SparkEntry {
         |      FROM (SELECT doc_id, t, unnest(range(len(t) - 19)) AS i FROM tok WHERE len(t) >= 20)),
         |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
         |hits AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+        |lagged AS (SELECT doc_id, pos,
+        |             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 20
+        |                  THEN 1 ELSE 0 END AS new_range
+        |           FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(new_range) OVER (PARTITION BY doc_id ORDER BY pos
+        |                               ROWS UNBOUNDED PRECEDING) AS range_id
+        |        FROM lagged)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS dup_start,
+        |       CAST(MAX(pos) + 20 AS BIGINT) AS dup_end,
+        |       CAST(MAX(pos) + 20 - MIN(pos) AS BIGINT) AS dup_len
+        |FROM isl GROUP BY doc_id, range_id""".stripMargin,
+    // incremental oracle: the FULL-corpus computation restricted to the
+    // batch docs plus old docs sharing at least one 20-token window string
+    // with the batch (the docs whose range sets the ingest can change)
+    "dedup_substring_incr" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+20], ' ') AS win
+        |      FROM (SELECT doc_id, t, unnest(range(len(t) - 19)) AS i FROM tok WHERE len(t) >= 20)),
+        |aff AS (SELECT DISTINCT w.doc_id FROM w
+        |        JOIN (SELECT DISTINCT win FROM w WHERE doc_id % 5 = 0) b USING (win)
+        |        WHERE w.doc_id % 5 <> 0),
+        |scope AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        |          UNION SELECT doc_id FROM aff),
+        |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+        |hits AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win) JOIN scope USING (doc_id)),
         |lagged AS (SELECT doc_id, pos,
         |             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 20
         |                  THEN 1 ELSE 0 END AS new_range

@@ -429,14 +429,7 @@ object Dedup {
       width: Int = 20,
       broadcastDupHashes: Boolean = true
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def wins =
-      docs
-        .select(
-          col("doc_id"),
-          explode(graft.extract.TokenWindowHashes.tokenWindowHashes(col("text"), width)).as("w")
-        )
-        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    def wins = windowHashRows(docs, width)
     val dupH = wins
       .groupBy("h")
       .agg(count(lit(1)).as("c"))
@@ -445,6 +438,25 @@ object Dedup {
     val hits = wins
       .join(if (broadcastDupHashes) broadcast(dupH) else dupH, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    mergeWindowRanges(hits, width)
+  }
+
+  /** (doc_id, pos, h): one row per `width`-token window of each doc — the
+    * exploded TokenWindowHashes stream, and the persisted-index row format
+    * for the incremental variant. */
+  def windowHashRows(docs: DataFrame, width: Int): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(graft.extract.TokenWindowHashes.tokenWindowHashes(col("text"), width)).as("w")
+      )
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** Merge duplicated-window hits (doc_id, pos) into maximal ranges: sorted
+    * per doc, a new range starts iff pos > prev_pos + width (window starts
+    * are unique per doc, so lag(pos) is the running max end). */
+  private def mergeWindowRanges(hits: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     hits
       // first row per doc: lag is null -> condition null -> otherwise(0)
@@ -461,5 +473,67 @@ object Dedup {
         col("dup_end").cast("long").as("dup_end"),
         (col("dup_end") - col("dup_start")).cast("long").as("dup_len")
       )
+  }
+
+  /** Incremental substring dedup — the batch-ingest twin of
+    * `duplicatedWindowRanges` (same family contract as
+    * `minhashPairsIncremental`/`simhashPairsIncremental`). A new batch is
+    * checked against a persisted window-hash index (`windowHashRows` rows
+    * for every already-ingested doc) WITHOUT re-tokenizing the old corpus.
+    *
+    * Output = the full-corpus result restricted to docs TOUCHING the batch:
+    * the batch docs themselves plus every old doc sharing at least one
+    * window hash with the batch ("affected" — the only old docs whose range
+    * sets can change). Affected docs are re-emitted with their COMPLETE
+    * range set (including ranges duplicated purely against other old docs),
+    * so a consumer can overwrite those docs' rows in place; unaffected docs
+    * are untouched by construction. Property-tested: incremental == full
+    * recomputation restricted to batch ∪ affected.
+    *
+    * Scale shape: the old corpus text is never read. The index is scanned
+    * (map-only — the probe sets broadcast) three times: once to find
+    * affected doc ids, once to pull affected docs' rows, once to count
+    * occurrences of candidate hashes corpus-wide (a hash shared by an
+    * affected doc may owe its duplication to an UNaffected doc, so counting
+    * must see the whole index, not just affected rows). Every shuffle is
+    * proportional to the batch + affected set, not the corpus. On a
+    * dup-dominated corpus where the batch touches everything, pass
+    * `broadcastKeys = false` to swap the probe broadcasts for shuffle
+    * semi-joins (same plans otherwise — the verifyJaccard contract).
+    *
+    * Returns (ranges, batchWins); union batchWins into the persisted index
+    * for the next batch. */
+  def duplicatedWindowRangesIncremental(
+      newDocs: DataFrame,
+      winIndex: DataFrame,
+      width: Int = 20,
+      broadcastKeys: Boolean = true
+  ): (DataFrame, DataFrame) = {
+    def bc(df: DataFrame): DataFrame = if (broadcastKeys) broadcast(df) else df
+    // the batch window stream feeds four subtrees — materialize once
+    val batchWins = windowHashRows(newDocs, width).localCheckpoint(false)
+    val batchH = batchWins.select("h").distinct()
+    val affectedIds = winIndex
+      .join(bc(batchH), Seq("h"), "left_semi")
+      .select("doc_id")
+      .distinct()
+    val affectedRows = winIndex.join(bc(affectedIds), Seq("doc_id"), "left_semi")
+    // scope = every window row whose doc the output covers
+    val scopeRows = affectedRows.unionByName(batchWins).localCheckpoint(false)
+    val candH = scopeRows.select("h").distinct()
+    // corpus-wide occurrence counts of the candidate hashes: old index +
+    // batch occurrences (map-side partial counts on both legs)
+    val dupH = winIndex
+      .join(bc(candH), Seq("h"), "left_semi")
+      .select("h")
+      .unionByName(batchWins.select("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select("h")
+    val hits = scopeRows
+      .join(bc(dupH), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    (mergeWindowRanges(hits, width), batchWins)
   }
 }

@@ -436,4 +436,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(h == s, s"hash-only=${(h -- s).take(5)} string-only=${(s -- h).take(5)}")
     assert(s.nonEmpty, "corpus should contain duplicated 20-token windows")
   }
+
+  test("incremental substring dedup == full recomputation restricted to batch ∪ affected docs") {
+    def rangeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = rangeSet(Dedup.duplicatedWindowRanges(docs, width = 20))
+    val oldIdx = Dedup.windowHashRows(docs.where($"doc_id" % 5 =!= 0), width = 20).localCheckpoint()
+    val (rangesDf, batchWins) =
+      Dedup.duplicatedWindowRangesIncremental(docs.where($"doc_id" % 5 === 0), oldIdx, width = 20)
+    val incr = rangeSet(rangesDf)
+    // independent scope derivation: batch ids ∪ old docs sharing a window
+    // hash with the batch (hash==string sharing by the previous test)
+    val affected = oldIdx
+      .join(broadcast(batchWins.select("h").distinct()), Seq("h"), "left_semi")
+      .select("doc_id")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val batchIds =
+      docs.where($"doc_id" % 5 === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val scope = affected ++ batchIds
+    assert(incr == full.filter(r => scope(r._1)))
+    assert(affected.nonEmpty, "restriction should be non-vacuous: some old doc shares a window")
+    assert(incr.nonEmpty)
+    // and the restriction is strict: the full run has ranges outside the scope
+    assert(full.exists(r => !scope(r._1)))
+  }
 }
