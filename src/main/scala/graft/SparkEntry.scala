@@ -192,6 +192,20 @@ object SparkEntry {
       Dedup.minhashPairs(d, threshold = 0.5, bands = 32, rowsPerBand = 1, preSigs = Some(sigs))
         .select("doc_a", "doc_b")
     }),
+    // transitive near-dup CLUSTERING: pairwise drop-the-greater-id dedup is
+    // not transitive (A~B, B~C but A!~C leaves an inconsistent keep set);
+    // closing the LSH pair set under connected components assigns every
+    // near-dup doc its cluster (min doc_id = the canonical representative
+    // to keep). Exhaustive (32,1) banding for exact-truth oracle parity
+    "dedup_cluster" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = Dedup.minhashSignatures(d, k = 32).localCheckpoint()
+      val pairs =
+        Dedup.minhashPairs(d, threshold = 0.5, bands = 32, rowsPerBand = 1, preSigs = Some(sigs))
+      graft.kg.ConnectedComponents
+        .run(s, pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+    }),
     // incremental ingest: the doc_id%5==0 batch deduped against the
     // persisted signature index of the rest — old x old pairs never
     // re-derived; result == full-LSH pairs touching the batch
@@ -919,6 +933,7 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS representative
         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_minhash" -> graft.data.DedupOracles.minhashSql(0.5),
+    "dedup_cluster" -> graft.data.DedupOracles.clusterSql(0.5),
     "dedup_minhash_incr" -> graft.data.DedupOracles.minhashIncrementalSql(0.5, 5),
     "dedup_simhash" -> graft.data.DedupOracles.simhashSql(60, 3),
     "dedup_simhash_incr" -> graft.data.DedupOracles.simhashIncrementalSql(60, 3, 5),

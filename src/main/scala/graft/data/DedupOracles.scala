@@ -51,6 +51,30 @@ object DedupOracles {
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold""".stripMargin
 
+  /** Transitive near-dup clustering oracle: the exact all-pairs Jaccard
+    * edges (minhashSql's count formulation) closed under a recursive-CTE
+    * min-reachable-id connected components — the independent cross-check of
+    * the engine's star-contraction CC over the same pair set. Near-dup
+    * clusters are tiny, so recursion depth is bounded in practice. */
+  def clusterSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, $shinglesExpr AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b
+       |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r)
+       |SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node""".stripMargin
+
   /** Incremental-LSH oracle: the engine result must equal the FULL exact
     * all-pairs ground truth restricted to pairs touching the batch (docs
     * with doc_id % batchMod = 0) — because signatures are deterministic,

@@ -463,4 +463,22 @@ class DataOpsSpec extends AnyFunSuite {
     // and the restriction is strict: the full run has ranges outside the scope
     assert(full.exists(r => !scope(r._1)))
   }
+
+  test("near-dup clustering: LSH pairs close under CC with min-id representatives") {
+    val sigs = Dedup.minhashSignatures(docs, k = 32).localCheckpoint()
+    val pairs = Dedup
+      .minhashPairs(docs, threshold = 0.5, bands = 32, rowsPerBand = 1, preSigs = Some(sigs))
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = graft.kg.ConnectedComponents
+      .run(spark, spark.createDataFrame(pairs.toSeq).toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(pairs.nonEmpty)
+    // every near-dup pair lands in one cluster; the label is the min member
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    comp.groupBy(_._2).foreach { case (c, members) => assert(c == members.keys.min) }
+  }
 }
