@@ -132,9 +132,26 @@ object DedupBench {
     val incrMatches =
       incrDf.exceptAll(expectedIncr).isEmpty && expectedIncr.exceptAll(incrDf).isEmpty
 
+    // substring-dedup leg: duplicated >=20-token window ranges over the same
+    // corpus. The planted tiers make the truth analytic — every family
+    // (base, +8, +9) shares a 45/49-word prefix, so ranges are exactly
+    // base [0,49), +9 [0,49), +8 [0,45): 3n/10 rows, all starting at 0,
+    // total dup_len (49+49+45)n/10 — checked below, not just counted.
+    val ssRanges = Dedup.duplicatedWindowRanges(docs, width = 20).cache()
+    val (nRanges, ssSec) = time { ssRanges.count() }
+    val ssAgg = ssRanges
+      .agg(
+        sum(when(col("dup_start") === 0, 1).otherwise(0)).as("zeroStarts"),
+        sum(col("dup_len")).as("lenSum"))
+      .collect()(0)
+    val ssOk = nRanges == 3 * (n / 10) &&
+      ssAgg.getLong(0) == nRanges &&
+      ssAgg.getLong(1) == (49L + 49L + 45L) * (n / 10)
+    ssRanges.unpersist()
+
     val totalSec = sigSec + pairSec
     val json =
-      f"""{"metric":"dedup_lsh_docs_per_sec","n_docs":$n,"bands":$bands,"rows_per_band":$rowsPerBand,"threshold":$threshold,"sig_index_sec":$sigSec%.3f,"pairs_sec":$pairSec%.3f,"total_sec":$totalSec%.3f,"docs_per_sec":${n / totalSec}%.1f,"pairs_found":$nPairs,"planted_easy":$nEasy,"recall_easy":$recallEasy%.4f,"planted_hard":$nHard,"recall_hard":$recallHard%.4f,"expected_hard":0.989,"incr_batch_docs":$batchDocs,"incr_sec":$incrSec%.3f,"incr_batch_docs_per_sec":${batchDocs / incrSec}%.1f,"incr_pairs":$incrPairs,"incr_matches_full_restricted":$incrMatches}"""
+      f"""{"metric":"dedup_lsh_docs_per_sec","n_docs":$n,"bands":$bands,"rows_per_band":$rowsPerBand,"threshold":$threshold,"sig_index_sec":$sigSec%.3f,"pairs_sec":$pairSec%.3f,"total_sec":$totalSec%.3f,"docs_per_sec":${n / totalSec}%.1f,"pairs_found":$nPairs,"planted_easy":$nEasy,"recall_easy":$recallEasy%.4f,"planted_hard":$nHard,"recall_hard":$recallHard%.4f,"expected_hard":0.989,"incr_batch_docs":$batchDocs,"incr_sec":$incrSec%.3f,"incr_batch_docs_per_sec":${batchDocs / incrSec}%.1f,"incr_pairs":$incrPairs,"incr_matches_full_restricted":$incrMatches,"substr_sec":$ssSec%.3f,"substr_tokens_per_sec":${n * WordsPerDoc / ssSec}%.1f,"substr_ranges":$nRanges,"substr_exact_truth":$ssOk}"""
     println(json)
     spark.stop()
   }
