@@ -91,6 +91,13 @@ object SparkEntry {
     "kg_nodes" -> ((s, dir) =>
       KgPipeline.nodes(s, KgPipeline.eligibleTurns(Transcripts.read(s, dir)), KgPipeline.defaultConcepts)),
     "kg_cooccurrence" -> ((s, dir) => KgPipeline.cooccurrence(mentions(s, dir))),
+    // fixed-point weighted PageRank over the co-occurrence graph (scale
+    // 2^32 integer ranks — exact, order-free, oracle-reproducible)
+    "kg_pagerank" -> ((s, dir) =>
+      graft.kg.PageRank.run(KgPipeline.cooccurrence(mentions(s, dir)), iterations = 5)),
+    // bounded-depth BFS (graph traversal): min-hop distance from concept
+    // Q15 over the canonicalization edge universe, frontier-expansion loop
+    "kg_khop" -> ((s, dir) => KgPipeline.kHopNeighborhood(s, seed = "Q15", maxHops = 3)),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -297,6 +304,43 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(docs(s, dir))),
+    // PII scrubbing over a corpus with deterministically PLANTED pii (the
+    // synthetic corpus has none — the same non-vacuity device as the
+    // planted exact dups): emails on doc_id%2, phones on %3, IPs on %5
+    "text_pii" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" call 555-0199")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" from 10.0.0.7")).otherwise(lit(""))
+        ).as("text")
+      )
+      TextAnalysis.piiRedact(planted)
+    }),
+    // temperature-based source mixing (n^0.5 weights, largest-remainder
+    // allocation, content-hash fill order)
+    "data_mix" -> ((s, dir) => graft.data.Sampling.temperatureMix(docs(s, dir), budget = 200L)),
+    // incremental exact-dedup ingest via a persisted Bloom filter: the
+    // planted batch (1/3 exact re-posts of corpus texts, 1/3 genuinely new)
+    // against the full corpus; bloom prunes map-side, an exact semi-join
+    // verifies — result is EXACTLY the anti-join the oracle computes
+    "dedup_bloom_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d
+        .where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(
+          d.where(col("doc_id") % 3 === 1)
+            .select(
+              (col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" batch-new-"), col("doc_id").cast("string")).as("text")))
+      Dedup.bloomExcludeIncremental(batch, d.select("doc_id", "text"))
+    }),
     // benchmark decontamination: training docs (doc_id%10<>0) scored by the
     // fraction of their distinct 8-gram shingles appearing anywhere in the
     // doc_id%10==0 "benchmark" slice — the n-gram-containment sibling of
@@ -920,6 +964,8 @@ object SparkEntry {
     "kg_triples" -> OracleGen.triplesSql,
     "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
+    "kg_pagerank" -> OracleGen.pageRankSql(5),
+    "kg_khop" -> OracleGen.kHopSql("Q15", 3),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,
@@ -1057,6 +1103,63 @@ object SparkEntry {
         |  ])).l AS predicted_lang,
         |  CAST(lang AS VARCHAR) AS declared_lang
         |FROM t""".stripMargin,
+    // RE2 dialect; 'g' flag makes regexp_replace global like Java replaceAll
+    "text_pii" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text
+         |           || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |           || CASE WHEN doc_id % 3 = 0 THEN ' call 555-0199' ELSE '' END
+         |           || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.7' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g')) AS redacted_md5
+         |FROM planted""".stripMargin,
+    // largest-remainder allocation over fixed-point sqrt weights, filled in
+    // md5(doc_id) order — integer arithmetic end-to-end, so exact
+    "data_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n,
+        |         CAST(FLOOR(SQRT(COUNT(*)) * 1048576) AS BIGINT) AS q
+        |  FROM documents GROUP BY 1),
+        |quotas AS (
+        |  SELECT source, n, q,
+        |         (200 * q) // (SELECT SUM(q) FROM c) AS base,
+        |         (200 * q) % (SELECT SUM(q) FROM c) AS rem
+        |  FROM c),
+        |ranked AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+        |         200 - (SELECT SUM(base) FROM quotas) AS leftover
+        |  FROM quotas),
+        |final AS (
+        |  SELECT source,
+        |         LEAST(n, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS quota
+        |  FROM ranked),
+        |sel AS (
+        |  SELECT d.doc_id, d.source,
+        |         ROW_NUMBER() OVER (PARTITION BY d.source
+        |                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d)
+        |SELECT s.doc_id, s.source FROM sel s JOIN final f ON s.source = f.source
+        |WHERE s.rn <= f.quota""".stripMargin,
+    // the bloom is an engine-internal prefilter with no false negatives;
+    // the observable contract is exactly this anti-join
+    "dedup_bloom_incr" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' batch-new-' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT b.doc_id, md5(b.text) AS text_md5
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -283,6 +283,118 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"), col("n_overlap"))
   }
 
+  /** Distributed Bloom-filter build over exact content hashes — the
+    * persisted membership artifact for incremental exact-dedup ingest at
+    * corpus scale (probe a filter instead of joining the corpus). Each
+    * corpus text contributes k bit positions (independent xxhash64 seeds);
+    * positions aggregate to 64-bit words via bit_or with map-side partial
+    * combine, so the shuffle carries at most (words-touched × partitions)
+    * rows and the driver collects a bounded model artifact (m/64 longs —
+    * same posture as the IVF codebook). At 100 TB the single bitset becomes
+    * a hash-RANGE-partitioned family of blooms (route each probe to its
+    * range's filter); the build below already partitions naturally on word
+    * index, only the collect would change.
+    *
+    * @return dense bitset, word-indexed (length m/64). */
+  /** 64-entry single-bit mask table as ONE array literal — the Column API's
+    * shiftleft only takes a constant shift, so variable shifts become an
+    * element_at against this (codegen: one array index). */
+  private val bitMasks: Column = typedLit((0 until 64).map(1L << _))
+
+  /** `mBits <= 0` auto-sizes to the next power of two ≥ 16 bits/key
+    * (fp ≈ 0.1% at k=5) from a count of the distinct corpus hashes — one
+    * extra build-time action on an artifact built once per corpus epoch.
+    * Capped at 2^27 bits (16 MB) for the single-bitset form; past that a
+    * real deployment shards by hash range (see scaladoc above). */
+  def buildBloom(corpus: DataFrame, mBits: Int = -1, k: Int = 5): Array[Long] = {
+    val h = corpus.select(xxhash64(col("text")).as("h")).distinct().localCheckpoint()
+    val m =
+      if (mBits > 0) mBits
+      else {
+        val n = h.count()
+        math.min(1L << 27, math.max(1L << 17, java.lang.Long.highestOneBit(16L * n - 1) << 1)).toInt
+      }
+    require(m % 64 == 0 && Integer.bitCount(m) == 1, "mBits must be a power of two")
+    val probes = h.select(
+      explode(array((0 until k).map(j => pmod(xxhash64(col("h"), lit(j)), lit(m.toLong))): _*))
+        .as("pos"))
+    val words = probes
+      .select(
+        floor(col("pos") / 64).cast("int").as("word"),
+        element_at(bitMasks, pmod(col("pos"), lit(64)).cast("int") + 1).as("mask"))
+      .groupBy("word")
+      .agg(bit_or(col("mask")).as("bits"))
+      .collect()
+    val bitset = new Array[Long](m / 64)
+    words.foreach(r => bitset(r.getInt(0)) = r.getLong(1))
+    bitset
+  }
+
+  /** Column predicate: might the text be in the bloom? Pure built-in
+    * functions over ONE array literal (`typedLit` of the bitset is a single
+    * Literal node — k element_at probes, whole-stage codegen, no UDF, no
+    * custom expression). False negatives are impossible by construction
+    * (same hash family as the build), so a bloom-prefiltered exclusion is
+    * EXACTLY an anti-join after verification. */
+  def bloomMightContain(textCol: Column, bitset: Array[Long], k: Int = 5): Column = {
+    val mBits = bitset.length * 64L
+    val bits = typedLit(bitset.toSeq)
+    val h = xxhash64(textCol)
+    (0 until k)
+      .map { j =>
+        val pos = pmod(xxhash64(h, lit(j)), lit(mBits))
+        val mask = element_at(bitMasks, pmod(pos, lit(64)).cast("int") + 1)
+        element_at(bits, floor(pos / 64).cast("int") + 1).bitwiseAND(mask) =!= lit(0L)
+      }
+      .reduce(_ && _)
+  }
+
+  /** Incremental exact-dedup ingest via a persisted Bloom filter: drop batch
+    * docs whose exact text already appears in the corpus. The bloom (built
+    * once per corpus epoch, `buildBloom`) prunes the batch to probable hits
+    * map-side — at a typical nightly batch vs a 100 TB corpus, the
+    * definite-new rows (the vast majority) never shuffle at all — and only
+    * the bloom-positive candidates are verified by an exact semi-join on
+    * text. Result is EXACTLY `batch ANTI JOIN corpus ON text` (no false
+    * negatives; false positives are removed by the verify join), which is
+    * what the oracle checks. The verify join's corpus scan is itself pruned
+    * by the candidates' hash set when small (broadcast semi-join).
+    *
+    * @return retained batch rows (doc_id, text_md5). */
+  def bloomExcludeIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      mBits: Int = 1 << 17,
+      k: Int = 5,
+      bloom: Option[Array[Long]] = None,
+      broadcastCandidates: Boolean = true
+  ): DataFrame = {
+    val bitset = bloom.getOrElse(buildBloom(corpus, mBits, k))
+    val might = bloomMightContain(col("text"), bitset, k)
+    val definiteNew = batch.where(!might)
+    val candidates = batch.where(might)
+    // verify: candidates ANTI JOIN corpus on text. Joined naively this
+    // shuffles the 100 TB corpus to verify a batch-sized candidate set —
+    // so first prune the corpus scan MAP-SIDE with a broadcast of the
+    // candidates' content hashes (bloom-positive rows are ~batch-sized by
+    // construction; same device as verifyJaccard's candidate pruning).
+    // `broadcastCandidates=false` keeps the plain join for the degenerate
+    // dup-dominated-batch case where the candidate set is the whole batch.
+    val corpusSide =
+      if (broadcastCandidates)
+        corpus
+          .select("text")
+          .join(
+            broadcast(candidates.select(xxhash64(col("text")).as("__ch")).distinct()),
+            xxhash64(col("text")) === col("__ch"),
+            "left_semi")
+      else corpus.select("text")
+    val confirmedNew = candidates.join(corpusSide, Seq("text"), "left_anti")
+    definiteNew
+      .unionByName(confirmedNew)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
   /** Deterministic 60-bit token hash reproducible in DuckDB SQL: the first
     * 15 hex chars of md5, parsed base-16 (fits a signed long without
     * overflow). Used by the oracle-checked simhash variant — the production

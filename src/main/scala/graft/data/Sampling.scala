@@ -49,6 +49,49 @@ object Sampling {
     result.drop("__stratum", "__r", "__rn")
   }
 
+  /** Temperature-based source mixing — the multinomial data-mixing step of
+    * LLM corpus assembly (sample source s with probability ∝ n_s^T, T=0.5
+    * here: up-weights small sources relative to proportional sampling, the
+    * standard multilingual/multi-source rebalancing). A fixed `budget` of
+    * documents is allocated across sources by the LARGEST-REMAINDER method
+    * over fixed-point weights, then filled per-source in deterministic
+    * content-hash order:
+    *
+    *   q_s  = floor(sqrt(n_s) * 2^20)        (per-row IEEE sqrt — exact in
+    *                                          any engine; no float SUMS)
+    *   base = (budget * q_s) div W,  W = Σ q_s  (exact long arithmetic)
+    *   +1 to the `budget - Σ base` sources with the largest remainder
+    *   (budget * q_s) mod W, ties broken by source name
+    *
+    * Quotas are capped at n_s (a tiny source can't oversubscribe). Every
+    * aggregate is over the ~|sources| count table (broadcast back to the
+    * corpus); the only corpus-sized work is one hash-ranked row_number per
+    * source — a single shuffle on source, AQE-splittable if one source
+    * dominates. Selection order is md5(doc_id) — reproducible by any engine,
+    * unlike a seeded PRNG. */
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("q", floor(sqrt(col("n")) * (1L << 20)).cast("long"))
+    // all aggregates below are over the tiny per-source table
+    val wTot = Window.partitionBy()
+    val quotas = counts
+      .withColumn("w", sum(col("q")).over(wTot))
+      .withColumn("base", expr("(CAST(" + budget + " AS BIGINT) * q) div w"))
+      .withColumn("rem", expr("(CAST(" + budget + " AS BIGINT) * q) % w"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wTot))
+      .withColumn("rr", row_number().over(Window.partitionBy().orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota", least(col("n"), col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L)))
+      .select("source", "quota")
+    val w = Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("__rn") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** G10 eval-set exclusion (operations/train.py:101-120): drop training
     * passages whose TEXT appears in the evaluation set — a broadcast-able
     * anti-join on text (the reference's set-membership filter). */

@@ -55,6 +55,39 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("fingerprint")
     )
 
+  /** PII scrubbing — the redaction pass every public-corpus training
+    * pipeline runs before packing (emails / phone numbers / IPv4 addresses
+    * replaced by typed placeholder tokens, with per-kind match counts kept
+    * for audit). Pure regexp map-only projection: three codegen'd
+    * regexp_count + a chained regexp_replace, no shuffle at any scale. The
+    * patterns are restricted to syntax with identical semantics in Java
+    * regex (engine) and RE2 (DuckDB oracle): ASCII classes + \b word
+    * boundaries, no backreferences or lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    // order matters and is part of the contract: IP before email would be
+    // wrong the other way round (an IP can't contain '@', but an email's
+    // domain may contain a dotted quad — scrub emails first)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe,
+          "<PHONE>"),
+        Ipv4Re,
+        "<IP>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_md5")
+    )
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1) — the
     * repetition family of quality filters for training-data curation:
     *

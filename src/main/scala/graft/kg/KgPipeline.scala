@@ -533,6 +533,47 @@ object KgPipeline {
     ConnectedComponents.run(spark, edges)
   }
 
+  /** Bounded-depth BFS over the concept/surface graph (the same undirected
+    * edge universe canonicalization clusters): min-hop distance from a seed
+    * concept out to `maxHops`. The frontier-expansion loop is the standard
+    * distributed BFS — each round joins ONLY the newest frontier (not the
+    * whole visited set) against the edge list, anti-joins the visited set,
+    * and localCheckpoints to truncate lineage, so round cost tracks frontier
+    * size. At 10^9-node scale the visited set stays partitioned on node and
+    * the per-round shuffle is frontier-sized; the oracle is an independent
+    * recursive-CTE walk with min-hop aggregation. */
+  def kHopNeighborhood(
+      spark: SparkSession,
+      seed: String,
+      maxHops: Int = 3,
+      concepts: Vector[Concept] = defaultConcepts
+  ): DataFrame = {
+    import spark.implicits._
+    val ids = concepts.map(_.wikibaseId).toSet
+    val conceptPairs = DemoConceptStore
+      .conceptEdgesOf(concepts)
+      .filter { case (s, _, o) => ids(s) && ids(o) }
+      .map { case (s, _, o) => (s, o) }
+    val surfacePairs = DemoConceptStore.surfaceEdgesOf(concepts).filter { case (_, c) => ids(c) }
+    val e = (conceptPairs ++ surfacePairs).toDF("src", "dst")
+    val und = e
+      .union(e.select(col("dst"), col("src")))
+      .distinct()
+      .localCheckpoint()
+    var dist = Seq((seed, 0)).toDF("node", "hops")
+    for (d <- 1 to maxHops) {
+      val next = dist
+        .where(col("hops") === d - 1)
+        .join(und, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("hops"))
+      dist = dist.unionByName(next).localCheckpoint()
+    }
+    dist
+  }
+
   /** J7 incremental canonicalization: a deterministic ~25% of the store's
     * dictionary edges arrive as a BATCH folded into the base assignment via
     * ConnectedComponents.runIncremental — the concept-store-update shape of

@@ -194,6 +194,54 @@ object OracleGen {
        |FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** k-hop oracle: independent recursive-CTE walk (bounded by hops, so it
+    * terminates despite cycles) with a min-hop rollup — cross-checks the
+    * engine's frontier-expansion BFS. */
+  def kHopSql(seed: String, maxHops: Int): String =
+    s"""WITH RECURSIVE e(src, dst) AS (SELECT * FROM (VALUES ${componentEdgeValuesFor(concepts)})),
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |walk(node, hops) AS (
+       |  SELECT '${sq(seed)}', 0
+       |  UNION ALL
+       |  SELECT u.dst, w.hops + 1 FROM walk w JOIN und u ON u.src = w.node WHERE w.hops < $maxHops
+       |)
+       |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node""".stripMargin
+
+  /** PageRank oracle: the co-occurrence CTE chain, then `iterations`
+    * unrolled fixed-point iterations (scale 2^32, damping 85/100) in exact
+    * integer arithmetic — DuckDB `//` floor-division matches Spark's `div`
+    * on the all-positive ranks, and HUGEINT sums are cast back to BIGINT.
+    * Mirrors graft.kg.PageRank.run bit-for-bit. */
+  def pageRankSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations)
+      .map { i =>
+        s"""r$i AS (
+           |  SELECT n.node,
+           |         CAST(${PageRank.Teleport} + (85 * COALESCE(s.csum, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM((r.r * e.w) // o.wtot) AS csum
+           |    FROM sym e JOIN r${i - 1} r ON r.node = e.src JOIN outw o ON o.src = e.src
+           |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT ca AS src, cb AS dst, w FROM co UNION ALL SELECT cb, ca, w FROM co),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM sym GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |r0 AS (SELECT node, CAST(${PageRank.Scale} AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node AS concept_id, r AS rank_q FROM r$iterations""".stripMargin
+  }
+
   /** Component-edge VALUES list shared by the canonical oracles. */
   private def componentEdgeValuesFor(cs: Vector[Concept]): String = {
     val ids = cs.map(_.wikibaseId).toSet

@@ -481,4 +481,91 @@ class DataOpsSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
     comp.groupBy(_._2).foreach { case (c, members) => assert(c == members.keys.min) }
   }
+
+  test("bloom exclusion == plain anti-join, and the bloom actually prunes") {
+    val corpus = docs.select($"doc_id", $"text")
+    // batch: half re-posts (must be excluded), half new (must survive)
+    val batch = corpus
+      .where($"doc_id" % 2 === 0)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+      .unionByName(
+        corpus
+          .where($"doc_id" % 2 === 1)
+          .select(($"doc_id" + 910000L).as("doc_id"), concat($"text", lit(" new")).as("text")))
+    val got = Dedup
+      .bloomExcludeIncremental(batch, corpus)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val want = batch
+      .join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(got === want)
+    assert(want.nonEmpty && want.size < batch.count())
+    // pruning: the genuinely-new half should mostly fail the bloom probe
+    // (fp rate at 500 keys in 2^17 bits is ~1e-5, so "mostly" is "all")
+    val bloom = Dedup.buildBloom(corpus)
+    val falsePos = batch
+      .join(corpus.select("text"), Seq("text"), "left_anti")
+      .where(Dedup.bloomMightContain($"text", bloom))
+      .count()
+    assert(falsePos < batch.count() / 10)
+  }
+
+  test("temperature mix: budget respected, small sources up-weighted vs proportional") {
+    val mixed = graft.data.Sampling.temperatureMix(docs, budget = 100L)
+    val bySource = mixed.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed.count() === 100L)
+    // sf0.001 sources are uniform (25 docs each over 20 sources): sqrt
+    // weights degenerate to uniform, so allocation must be 5 per source
+    assert(bySource.values.toSet === Set(5L))
+    // skewed corpus: one giant + one tiny source; T=0.5 gives the tiny
+    // source MORE than its proportional share
+    val skewed = (1 to 900).map(i => (i.toLong, s"text $i", "big")) ++
+      (1 to 100).map(i => (1000L + i, s"text b$i", "small"))
+    val sk = spark.createDataFrame(skewed).toDF("doc_id", "text", "source")
+    val m2 = graft.data.Sampling
+      .temperatureMix(sk, budget = 100L)
+      .groupBy("source")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(m2.values.sum === 100L)
+    assert(m2("small") > 10L, s"tiny source got ${m2("small")} — not up-weighted")
+    assert(m2("big") > m2("small"))
+  }
+
+  test("pii redaction: counts and placeholders on crafted rows") {
+    val rows = Seq(
+      (1L, "reach me at jo.doe@mail.example.org or call 555-0142 now"),
+      (2L, "server 192.168.1.7 and 10.0.0.255 no mail here"),
+      (3L, "plain text without identifiers"),
+      (4L, "two mails a@b.io c.d@e-f.co and ip 8.8.8.8 call 555-9999")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .piiRedact(rows)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((1L, 1L, 0L)))
+    assert(got(2L) === ((0L, 0L, 2L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    assert(got(4L) === ((2L, 1L, 1L)))
+    // placeholder actually lands in the redacted text
+    val red = TextAnalysis.piiRedact(rows)
+    val md5OfExpected = Seq(
+      (1L, "reach me at <EMAIL> or call <PHONE> now"),
+      (2L, "server <IP> and <IP> no mail here"),
+      (3L, "plain text without identifiers"),
+      (4L, "two mails <EMAIL> <EMAIL> and ip <IP> call <PHONE>")
+    ).toDF("doc_id", "expected")
+      .select($"doc_id", md5($"expected").as("expected_md5"))
+    val joined = red.join(md5OfExpected, Seq("doc_id"))
+    assert(joined.where($"redacted_md5" =!= $"expected_md5").count() === 0L)
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kg.PageRank
+
+/** PageRank: exact equality vs an independent single-threaded fixed-point
+  * reference implementation of the same recurrence (the arithmetic is
+  * integer, so equality is exact, not approximate). */
+class GraphAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Single-threaded reference: same recurrence, plain Scala maps. */
+  private def referenceRanks(
+      edges: Seq[(String, String, Long)],
+      iterations: Int
+  ): Map[String, Long] = {
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val outw = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    val nodes = sym.map(_._1).distinct
+    var rank: Map[String, Long] = nodes.map(_ -> PageRank.Scale).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .map { case (src, dst, w) => dst -> rank(src) * w / outw(src) }
+        .groupBy(_._1)
+        .map { case (n, cs) => n -> cs.map(_._2).sum }
+      rank = nodes.map(n => n -> (PageRank.Teleport + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private val edges = Seq(
+    // a hub (Q1) plus a chain and a detached pair
+    ("Q1", "Q2", 10L), ("Q1", "Q3", 5L), ("Q1", "Q4", 1L),
+    ("Q2", "Q3", 2L), ("Q4", "Q5", 7L), ("Q6", "Q7", 3L)
+  )
+
+  test("distributed fixed-point PageRank equals the single-threaded reference exactly") {
+    val df = edges.toDF("concept_a", "concept_b", "n_convs")
+    val got = PageRank
+      .run(df, iterations = 5)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val want = referenceRanks(edges, 5)
+    assert(got === want)
+    // the hub must out-rank every spoke
+    assert(got("Q1") > got("Q2") && got("Q1") > got("Q4"))
+  }
+
+  test("k-hop BFS equals single-threaded BFS over the concept graph") {
+    val got = graft.kg.KgPipeline
+      .kHopNeighborhood(spark, seed = "Q15", maxHops = 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    // independent reference BFS over the same edge universe
+    val cs = graft.kg.DemoConceptStore.concepts
+    val ids = cs.map(_.wikibaseId).toSet
+    val edges =
+      graft.kg.DemoConceptStore.conceptEdgesOf(cs).collect { case (s, _, o) if ids(s) && ids(o) => (s, o) } ++
+        graft.kg.DemoConceptStore.surfaceEdgesOf(cs).filter { case (_, c) => ids(c) }
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = Map("Q15" -> 0)
+    var frontier = Set("Q15")
+    for (d <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).diff(dist.keySet)
+      dist ++= next.map(_ -> d)
+      frontier = next
+    }
+    assert(got === dist)
+    assert(got("Q15") === 0)
+    assert(got.values.exists(_ == 3), "graph should have depth-3 reachability from Q15")
+  }
+
+  test("ranks are insensitive to edge-list order (fixed-point sums are exact)") {
+    val df1 = edges.toDF("concept_a", "concept_b", "n_convs")
+    val df2 = edges.reverse.toDF("concept_a", "concept_b", "n_convs").repartition(7)
+    val r1 = PageRank.run(df1, 3).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val r2 = PageRank.run(df2, 3).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r1 === r2)
+  }
+}

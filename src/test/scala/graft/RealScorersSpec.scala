@@ -15,14 +15,18 @@ class RealScorersSpec extends AnyFunSuite {
 
   private val fixDir = "src/test/resources"
 
-  /** All distinct en texts across the sf dirs (the fixture universe; the
-    * sf1-equivalent sweep corpus joins in when generated). */
+  /** All distinct en texts across the sf dirs plus the COMMITTED fixture
+    * texts (ref_texts.parquet pins every fixture key's text so the suite is
+    * hermetic — it does not depend on the gitignored bigdata/ sweep corpus
+    * having been regenerated); the sf1-equivalent sweep corpus still joins
+    * in when present so new fixture generations can draw from it. */
   private lazy val allTexts: Map[String, String] = {
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1") ++
       (if (new java.io.File("/root/repo/bigdata/documents.parquet").exists()) Seq("/root/repo/bigdata") else Nil)
     dirs
       .map(d => spark.read.parquet(s"$d/documents.parquet").where(col("lang") === "en").select("text"))
       .reduce(_ union _)
+      .union(spark.read.parquet(s"$fixDir/ref_texts.parquet").select("text"))
       .distinct()
       .select(md5(col("text")).as("m"), col("text"))
       .as[(String, String)]
