@@ -111,6 +111,27 @@ object CcBench {
     val brokenIncr = incr.join(i2, Seq("component")).where(col("root") =!= col("component")).count()
     require(brokenIncr == 0, s"$brokenIncr incremental nodes point at non-root components")
 
+    // ---- PageRank leg: fixed-point analytics over the same block graph ----
+    // 5 iterations of rank⋈edges + sum-by-dst. Structural truth: total rank
+    // mass stays within [N*teleport, N*scale] (floor decay only — a
+    // double-count or dropped-contribution bug breaks the bounds).
+    val prIters = 5
+    val (pr, prSec) = Bench.time {
+      val r = graft.kg.PageRank
+        .run(
+          edges
+            .where(col("src") =!= col("dst"))
+            .select(col("src").as("concept_a"), col("dst").as("concept_b"), lit(1L).as("n_convs")),
+          prIters)
+        .localCheckpoint()
+      r.count(); r
+    }
+    val prAgg = pr.agg(sum(col("rank_q")), count(lit(1))).collect()(0)
+    val prMass = prAgg.getLong(0)
+    val prNodes = prAgg.getLong(1)
+    require(prMass <= prNodes * graft.kg.PageRank.Scale, "rank mass exceeds initial mass")
+    require(prMass >= prNodes * graft.kg.PageRank.Teleport, "rank mass below the teleport floor")
+
     // ---- skewed-hub leg: one hub holds ~50% of ALL edges ------------------
     // north-rule stress ("skew salting on hot concepts"): every node fans
     // into n0 on top of the per-block chains, so the hub's degree is n and
@@ -178,15 +199,33 @@ object CcBench {
       val plan = qe.executedPlan.toString
       java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_cc_skew_plan.txt"), plan)
       val skewSplit = plan.contains("skew=true")
+
+      // hub-graph PageRank: the analytics twin of the skew stress. The hub's
+      // incoming contribution sum concentrates on one aggregation key, but
+      // sum-by-dst partial-aggregates map-side, so the hot key costs one
+      // long per upstream partition per round. Structural truth: the hub
+      // must dominate the ranking.
+      val (hubPr, hubPrSec) = Bench.time {
+        val r = graft.kg.PageRank
+          .run(
+            sEdges
+              .where(col("src") =!= col("dst"))
+              .select(col("src").as("concept_a"), col("dst").as("concept_b"), lit(1L).as("n_convs")),
+            iterations = 5)
+          .localCheckpoint()
+        r.count(); r
+      }
+      val top = hubPr.orderBy(col("rank_q").desc).limit(1).collect()(0)
+      require(top.getString(0) == "n0", s"hub must top the ranking, got ${top.getString(0)}")
       skewJson =
-        f"""{"n_edges":$sCount,"hub_degree":$hubDegree,"hub_edge_fraction":${hubDegree.toDouble / sCount}%.3f,"n_components":$sComponents,"sec_plain":$sSecPlain%.3f,"sec_skew_hardened":$sSec%.3f,"edges_per_sec_hardened":${sCount / sSec}%.1f,"fixpoint_ok":true,"aqe_skew_split_observed":$skewSplit}"""
+        f"""{"n_edges":$sCount,"hub_degree":$hubDegree,"hub_edge_fraction":${hubDegree.toDouble / sCount}%.3f,"n_components":$sComponents,"sec_plain":$sSecPlain%.3f,"sec_skew_hardened":$sSec%.3f,"edges_per_sec_hardened":${sCount / sSec}%.1f,"fixpoint_ok":true,"aqe_skew_split_observed":$skewSplit,"pagerank_5iter_sec":$hubPrSec%.3f,"pagerank_edge_traversals_per_sec":${5L * sCount / hubPrSec}%.1f,"pagerank_hub_top":true}"""
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     }
 
     val json =
-      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true,"incr_batch_edges":${nMerge + 1001},"incr_sec":$incrSec%.3f,"incr_components":$nComponentsIncr,"incr_structure_ok":true,"skew_hub":$skewJson}"""
+      f"""{"metric":"cc_edges_per_sec","n_nodes":$nNodes,"n_edges":$nEdges,"n_components":$nComponents,"sec":$sec%.3f,"edges_per_sec":${nEdges / sec}%.1f,"fixpoint_ok":true,"incr_batch_edges":${nMerge + 1001},"incr_sec":$incrSec%.3f,"incr_components":$nComponentsIncr,"incr_structure_ok":true,"pagerank":{"iters":$prIters,"sec":$prSec%.3f,"edge_traversals_per_sec":${prIters * nEdges / prSec}%.1f,"mass_bounds_ok":true},"skew_hub":$skewJson}"""
     println(json)
     spark.stop()
   }

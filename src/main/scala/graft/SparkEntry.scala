@@ -325,6 +325,25 @@ object SparkEntry {
     // temperature-based source mixing (n^0.5 weights, largest-remainder
     // allocation, content-hash fill order)
     "data_mix" -> ((s, dir) => graft.data.Sampling.temperatureMix(docs(s, dir), budget = 200L)),
+    // cross-corpus bigram novelty (integer-count LM-surprise stand-in):
+    // doc_id%10==0 is the reference model corpus, the rest are scored;
+    // doc_id%4==0 scored docs get a PLANTED unseen token so rare bigrams
+    // exist at every scale factor
+    "text_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = d
+        .where(col("doc_id") % 10 =!= 0)
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 4 === 0, concat(lit(" novel"), col("doc_id").cast("string")))
+              .otherwise(lit(""))).as("text"))
+      TextAnalysis.ngramNovelty(scored, d.where(col("doc_id") % 10 === 0), minCount = 2L)
+    }),
+    // keyword retrieval: tf × integer inverse-df weights, top-10
+    "search_topk" -> ((s, dir) =>
+      graft.data.Search.searchTopK(docs(s, dir), Seq("merge", "window", "customer"), k = 10)),
     // incremental exact-dedup ingest via a persisted Bloom filter: the
     // planted batch (1/3 exact re-posts of corpus texts, 1/3 genuinely new)
     // against the full corpus; bloom prunes map-side, an exact semi-join
@@ -1149,6 +1168,38 @@ object SparkEntry {
         |  FROM documents d)
         |SELECT s.doc_id, s.source FROM sel s JOIN final f ON s.source = f.source
         |WHERE s.rn <= f.quota""".stripMargin,
+    // integer-count novelty: no log floats, so exact hash compare holds
+    "text_novelty" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 4 = 0 THEN ' novel' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |refc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |sb AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM scored) WHERE len(toks) >= 2),
+        |rb AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM refc) WHERE len(toks) >= 2),
+        |model AS (SELECT g, COUNT(*) AS ref_count FROM rb GROUP BY 1),
+        |j AS (
+        |  SELECT s.doc_id, CASE WHEN COALESCE(m.ref_count, 0) < 2 THEN 1 ELSE 0 END AS rare
+        |  FROM sb s LEFT JOIN model m ON s.g = m.g)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, CAST(SUM(rare) AS BIGINT) AS n_rare,
+        |       CAST(SUM(rare) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM j GROUP BY 1""".stripMargin,
+    // linear-idf retrieval: integer weights (ln is not cross-engine
+    // bit-stable; exact long division is), deterministic tie-break
+    "search_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |hits AS (SELECT doc_id, t FROM toks WHERE t IN ('merge', 'window', 'customer')),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id,
+        |       CAST(SUM(tf.tf * ((1000000 * (n.n_docs + 1)) // (df.df + 1))) AS BIGINT) AS score
+        |FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+        |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin,
     // the bloom is an engine-internal prefilter with no false negatives;
     // the observable contract is exactly this anti-join
     "dedup_bloom_incr" ->

@@ -55,6 +55,49 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("fingerprint")
     )
 
+  /** Cross-corpus n-gram novelty — the cheap LM-surprise stand-in used to
+    * flag gibberish / out-of-domain documents: the fraction of a document's
+    * bigram OCCURRENCES whose bigram is rare (count < minCount) in a
+    * reference corpus. Integer counts and long/long division end-to-end —
+    * no log-perplexity floats (ln is not guaranteed bit-identical across
+    * engines; counts are), so the oracle hash-compares exactly.
+    *
+    * Scale: the reference model is one (bigram, count) aggregation —
+    * build-once-per-epoch like the bloom/codebook artifacts; scoring joins
+    * the scored docs' bigrams against it. The join key is the bigram string:
+    * at 100 TB both sides hash-partition on it, the model side is df-bounded
+    * (distinct bigrams grow sublinearly), and the common-bigram skew is
+    * absorbed by partial-agg on (doc, rare?) before any wide row moves. */
+  def ngramNovelty(
+      scored: DataFrame,
+      reference: DataFrame,
+      minCount: Long = 2L
+  ): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))
+          )).as("g"))
+    val model = bigrams(reference).groupBy("g").agg(count(lit(1)).as("ref_count"))
+    bigrams(scored)
+      .join(model, Seq("g"), "left")
+      .select(
+        col("doc_id"),
+        when(coalesce(col("ref_count"), lit(0L)) < minCount, 1L).otherwise(0L).as("rare"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("rare")).as("n_rare"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("novelty"))
+  }
+
   /** PII scrubbing — the redaction pass every public-corpus training
     * pipeline runs before packing (emails / phone numbers / IPv4 addresses
     * replaced by typed placeholder tokens, with per-kind match counts kept

@@ -540,6 +540,42 @@ class DataOpsSpec extends AnyFunSuite {
     assert(m2("big") > m2("small"))
   }
 
+  test("ngram novelty: exact rare fractions on hand-built reference/scored docs") {
+    // reference sees "a b" x2, "b c" x2, "c d" x1 (below minCount=2)
+    val ref = Seq((100L, "a b c"), (101L, "a b c d")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b c"),   // bigrams: "a b"(freq2, common), "b c"(2, common) -> 0/2 rare
+      (2L, "c d e"),   // "c d"(1, rare), "d e"(0, rare)                 -> 2/2 rare
+      (3L, "a b x b c") // "a b" common, "b x" rare, "x b" rare, "b c" common -> 2/4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .ngramNovelty(scored, ref, minCount = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((2L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 2L, 1.0)))
+    assert(got(3L) === ((4L, 2L, 0.5)))
+  }
+
+  test("search: exact integer tf-idf scores and ranking on hand-built docs") {
+    val corpus = Seq(
+      (1L, "merge merge sort"),  // tf(merge)=2
+      (2L, "merge window"),      // tf(merge)=1 tf(window)=1
+      (3L, "window window window"), // tf(window)=3
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val got = graft.data.Search
+      .searchTopK(corpus, Seq("merge", "window"), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // N=4; df(merge)=2 -> w = 1000000*5 div 3 = 1666666; df(window)=2 -> same
+    val w = 1000000L * 5 / 3
+    assert(got.toMap === Map(1L -> 2 * w, 2L -> 2 * w, 3L -> 3 * w))
+    // ranking: doc 3 first (3w), then doc 1 before doc 2 (tie on 2w, id asc)
+    assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
+  }
+
   test("pii redaction: counts and placeholders on crafted rows") {
     val rows = Seq(
       (1L, "reach me at jo.doe@mail.example.org or call 555-0142 now"),
