@@ -344,6 +344,24 @@ object SparkEntry {
     // keyword retrieval: tf × integer inverse-df weights, top-10
     "search_topk" -> ((s, dir) =>
       graft.data.Search.searchTopK(docs(s, dir), Seq("merge", "window", "customer"), k = 10)),
+    // C4-style corpus cleaning over planted line structure: the flat token
+    // corpus is re-sentenced (8-token lines with terminal '.'), then noisy
+    // lines are planted — corpus-wide boilerplate dup (%4), a too-short
+    // line (%6), a no-terminal-punct line (%5), a lorem-ipsum doc (%97),
+    // a curly-brace code doc (%89) — so every rule fires non-vacuously
+    "text_c4_clean" -> ((s, dir) => {
+      val structured = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          regexp_replace(col("text"), lit("(([^ ]+ ){7}[^ ]+) "), lit("$1.\n")),
+          when(col("doc_id") % 4 === 0, lit("\nsubscribe to our newsletter today.")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("\nok.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nthis line has no terminal punctuation")).otherwise(lit("")),
+          when(col("doc_id") % 97 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+          when(col("doc_id") % 89 === 0, lit("\nbad { code }.")).otherwise(lit(""))
+        ).as("text"))
+      TextAnalysis.c4Clean(structured, minWords = 3, minKept = 2)
+    }),
     // incremental exact-dedup ingest via a persisted Bloom filter: the
     // planted batch (1/3 exact re-posts of corpus texts, 1/3 genuinely new)
     // against the full corpus; bloom prunes map-side, an exact semi-join
@@ -1200,6 +1218,43 @@ object SparkEntry {
         |       CAST(SUM(tf.tf * ((1000000 * (n.n_docs + 1)) // (df.df + 1))) AS BIGINT) AS score
         |FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
         |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin,
+    // full C4-clean replication: same planting, same keeper election
+    // ((min doc_id, line_idx) per distinct line == row_number = 1)
+    "text_c4_clean" ->
+      """WITH structured AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(([^ ]+ ){7}[^ ]+) ', '\1.' || chr(10), 'g')
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'subscribe to our newsletter today.' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'ok.' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this line has no terminal punctuation' ELSE '' END
+        |    || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        |    || CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'bad { code }.' ELSE '' END AS text
+        |  FROM documents),
+        |docs_ok AS (
+        |  SELECT * FROM structured
+        |  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')),
+        |lns AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(parts)),
+        |           i -> struct_pack(line_idx := i, line := parts[i+1]))) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs_ok)),
+        |lines2 AS (SELECT doc_id, CAST(u.line_idx AS INT) AS line_idx, u.line AS line FROM lns),
+        |kept AS (
+        |  SELECT * FROM lines2
+        |  WHERE len(string_split(line, ' ')) >= 3 AND regexp_matches(line, '[.!?]$')),
+        |keeper AS (
+        |  SELECT doc_id, line_idx, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM kept),
+        |dedup AS (SELECT doc_id, line_idx, line FROM keeper WHERE rn = 1),
+        |totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines2 GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         md5(string_agg(line, chr(10) ORDER BY line_idx)) AS cleaned_md5
+        |  FROM dedup GROUP BY 1)
+        |SELECT a.doc_id, t.n_lines, a.n_kept, a.cleaned_md5
+        |FROM agg a JOIN totals t USING (doc_id)
+        |WHERE a.n_kept >= 2""".stripMargin,
     // the bloom is an engine-internal prefilter with no false negatives;
     // the observable contract is exactly this anti-join
     "dedup_bloom_incr" ->

@@ -184,6 +184,56 @@ object TextAnalysis {
       )
   }
 
+  /** C4-style corpus cleaning (Raffel et al. 2020 §2.2) — the line-level
+    * quality pass web-scale training pipelines run before dedup/packing:
+    *
+    *  - doc-level drops: any document containing "lorem ipsum" (template
+    *    boilerplate) or a curly brace (code),
+    *  - line-level keeps: >= `minWords` words AND terminal punctuation,
+    *  - corpus-level duplicate-line removal: every distinct surviving line
+    *    is kept in exactly ONE document — the first occurrence by
+    *    (doc_id, line_idx) — so shared boilerplate ("subscribe to our
+    *    newsletter.") survives once corpus-wide,
+    *  - docs with fewer than `minKept` surviving lines are dropped.
+    *
+    * Scale: the doc/line filters are map-only codegen projections. The
+    * corpus-wide keeper election is the skew-sensitive step — hot
+    * boilerplate lines concentrate on one key — so it is a
+    * `groupBy(line_hash).agg(min(struct(doc_id, line_idx)))`, which
+    * partial-aggregates map-side (each input partition contributes ONE
+    * 24-byte candidate row per distinct line it holds, never the line
+    * text), not a window over the hash (a window sorts the hot key's
+    * entire partition on one reducer). Reassembly shuffles each doc's kept
+    * lines once, grouped back on doc_id. */
+  def c4Clean(docs: DataFrame, minWords: Int = 3, minKept: Int = 2): DataFrame = {
+    val docOk = !contains(lower(col("text")), lit("lorem ipsum")) &&
+      !contains(col("text"), lit("{"))
+    val lines = docs
+      .where(docOk)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+    val kept = lines.where(
+      size(split(col("line"), " ")) >= minWords && col("line").rlike("[.!?]$"))
+    // keeper election: min(struct) partial-aggregates; the join back is on
+    // the same hash key, so AQE handles any residual reducer skew
+    val keepers = kept
+      .groupBy(col("line").as("kline"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("keeper"))
+    val deduped = kept
+      .join(keepers, col("line") === col("kline"))
+      .where(col("keeper.doc_id") === col("doc_id") && col("keeper.line_idx") === col("line_idx"))
+      .select("doc_id", "line_idx", "line")
+    val perDocTotals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    deduped
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          s => s.getField("line"))).as("cleaned"))
+      .where(col("n_kept") >= minKept)
+      .join(perDocTotals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), md5(col("cleaned")).as("cleaned_md5"))
+  }
+
   /** Heuristic language id via stopword-profile voting (pure column plan:
     * per-language distinctive-word hit counts, argmax). A real n-gram model
     * would be a broadcast lookup table; the plumbing is identical. */

@@ -46,19 +46,21 @@ object PageRank {
     *              each pair listed once with concept_a < concept_b.
     * @return (concept_id, rank_q) — fixed-point rank, scale 2^32. */
   def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
-    val sym = edges
+    val symRaw = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
       .union(
         edges.select(col("concept_b").as("src"), col("concept_a").as("dst"), col("n_convs").as("w")))
       .localCheckpoint()
-    val outw = sym.groupBy("src").agg(sum(col("w")).as("wtot")).localCheckpoint()
+    val outw = symRaw.groupBy("src").agg(sum(col("w")).as("wtot"))
+    // wtot is static — join it into the edge list ONCE, not once per
+    // iteration (at 32M directed edges that join dominated the loop)
+    val sym = symRaw.join(outw, Seq("src")).localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
 
     var rank = nodes.select(col("node"), lit(Scale).as("r"))
     for (_ <- 1 to iterations) {
       val contrib = sym
         .join(rank, sym("src") === rank("node"))
-        .join(outw, Seq("src"))
         .selectExpr("dst", "(r * w) div wtot AS c")
         .groupBy("dst")
         .agg(sum(col("c")).as("csum"))

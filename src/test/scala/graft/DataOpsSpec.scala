@@ -604,4 +604,31 @@ class DataOpsSpec extends AnyFunSuite {
     val joined = red.join(md5OfExpected, Seq("doc_id"))
     assert(joined.where($"redacted_md5" =!= $"expected_md5").count() === 0L)
   }
+
+  test("c4Clean: line rules, doc drops, corpus-wide line dedup, reassembly") {
+    val rows = Seq(
+      // kept: line 0 + first occurrence of the shared boilerplate; "ok."
+      // fails minWords, the last line fails terminal punctuation
+      (1L, "good first line here.\nok.\nshared boilerplate line.\nno terminal punct line"),
+      // the shared line's keeper is doc 1 — here it must vanish
+      (2L, "another good line stays.\nshared boilerplate line.\nsecond good line right here."),
+      (3L, "lorem ipsum dolor sit amet.\nperfectly fine line here."), // doc-level drop
+      (4L, "code doc { x }.\nfine line here too."), // doc-level drop (brace)
+      (5L, "only one good line here.") // survives rules but n_kept 1 < minKept
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .c4Clean(rows, minWords = 3, minKept = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((4L, 2L, hex("good first line here.\nshared boilerplate line."))))
+    assert(got(2L) === ((3L, 2L, hex("another good line stays.\nsecond good line right here."))))
+  }
 }
