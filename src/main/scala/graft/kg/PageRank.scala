@@ -2,6 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Weighted PageRank over the concept co-occurrence graph — the standard
   * "which entities matter" analytic over the extracted KG (the corpus-level
@@ -24,17 +25,32 @@ import org.apache.spark.sql.functions._
   * ulp per edge + one per node); rankings are unaffected and both engines
   * lose identically.
   *
-  * Scale posture: each iteration is one join of the rank vector against the
-  * weighted edge list plus one sum-by-dst — the canonical distributed
-  * PageRank shape. The rank vector is one long per node (tiny next to the
-  * edges); edges are localCheckpoint-ed once so the co-occurrence subtree
-  * (which re-derives mentions) executes exactly once, and each iteration's
-  * rank vector is localCheckpoint-ed to truncate lineage — without it the
-  * plan nests `iterations` shuffles of the full edge subtree (the CC loop
-  * learned the same lesson). A hot hub node concentrates its *incoming*
-  * contribution sum into one aggregation key; the sum is a partial-agg
-  * (map-side combine) so the skew cost is one long per upstream partition,
-  * not one row per edge.
+  * Scale posture (re-derived from stage metrics at 32M directed edges):
+  *
+  *   - The static weighted edge list is cached COLUMNAR (`persist`, not
+  *     `localCheckpoint`): the row-object cache behind localCheckpoint holds
+  *     two JVM objects per row, and at 32M rows the resulting old-gen
+  *     churn made GC >50% of executor runtime (measured: 1938s GC of 3729s
+  *     task time in the materialization stage). The compressed columnar
+  *     cache stores a handful of buffers per batch instead.
+  *   - The edge list is hash-REPARTITIONED on src before caching, and the
+  *     columnar cache preserves that partitioning, so the per-iteration
+  *     contrib join exchanges only the rank vector (one long per node) —
+  *     the 32M-row edge relation never moves after the one-time build.
+  *     The rank-update join is exchange-free on both sides: contrib comes
+  *     out of its aggregation hash-partitioned on dst, and the cached node
+  *     list is partitioned on the same attribute lineage.
+  *   - Iterations build ONE lazy DAG — no per-iteration materialization.
+  *     Shuffle files are the natural inter-iteration checkpoint; nothing
+  *     rank-sized is cached until the single final localCheckpoint (which
+  *     also lets the static caches be dropped before returning). Plan
+  *     depth is bounded for deep runs by checkpointing every 8 iterations.
+  *   - SHUFFLE_HASH on the rank side keeps the streamed edge relation
+  *     unsorted (a sort-merge join would re-sort it every iteration).
+  *   - A hot hub node concentrates its *incoming* contribution sum into
+  *     one aggregation key; the sum is a partial-agg (map-side combine) so
+  *     the skew cost is one long per upstream partition, not one row per
+  *     edge.
   */
 object PageRank {
 
@@ -44,31 +60,39 @@ object PageRank {
 
   /** @param edges undirected weighted edges (concept_a, concept_b, n_convs);
     *              each pair listed once with concept_a < concept_b.
-    * @return (concept_id, rank_q) — fixed-point rank, scale 2^32. */
+    * @return (concept_id, rank_q) — fixed-point rank, scale 2^32; eagerly
+    *         materialized (localCheckpoint) so the static edge/node caches
+    *         can be released before returning. */
   def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
     val symRaw = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
       .union(
         edges.select(col("concept_b").as("src"), col("concept_a").as("dst"), col("n_convs").as("w")))
-      .localCheckpoint()
     val outw = symRaw.groupBy("src").agg(sum(col("w")).as("wtot"))
     // wtot is static — join it into the edge list ONCE, not once per
     // iteration (at 32M directed edges that join dominated the loop)
-    val sym = symRaw.join(outw, Seq("src")).localCheckpoint()
-    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    val sym = symRaw
+      .join(outw, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("node")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // materialize both static caches in one action
 
     var rank = nodes.select(col("node"), lit(Scale).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = sym
-        .join(rank, sym("src") === rank("node"))
+        .join(rank.hint("SHUFFLE_HASH"), sym("src") === rank("node"))
         .selectExpr("dst", "(r * w) div wtot AS c")
         .groupBy("dst")
         .agg(sum(col("c")).as("csum"))
       rank = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(contrib.hint("SHUFFLE_HASH"), nodes("node") === contrib("dst"), "left")
         .selectExpr("node", s"$Teleport + (85 * coalesce(csum, 0L)) div 100 AS r")
-        .localCheckpoint()
+      if (i % 8 == 0 && i < iterations) rank = rank.localCheckpoint()
     }
-    rank.select(col("node").as("concept_id"), col("r").as("rank_q"))
+    val out = rank.select(col("node").as("concept_id"), col("r").as("rank_q")).localCheckpoint()
+    sym.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 }
