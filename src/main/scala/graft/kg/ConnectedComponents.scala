@@ -2,6 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge DataFrame — the
   * canonicalization primitive (J7 in SURVEY.md §2.6). GraphFrames-style
@@ -22,8 +23,31 @@ import org.apache.spark.sql.functions._
   * Both return (node, component) with component = the lexicographically
   * smallest node id in the component; `localCheckpoint` truncates lineage
   * every round so plans don't grow with iteration count.
+  *
+  * Round materialization is SERIALIZED (`MEMORY_AND_DISK_SER`) and each
+  * round's cache is dropped once the next round lands: the default
+  * localCheckpoint storage keeps two JVM objects per row, and at 16M-row
+  * rounds the accumulated row-object caches made GC the dominant executor
+  * cost (the PageRank loop measured GC >50% of task runtime under the
+  * same pattern — see PERF.md §7). Serialized blocks hold a handful of
+  * byte buffers per partition instead, and the working set stays at one
+  * round, not `iterations` rounds.
   */
 object ConnectedComponents {
+
+  /** localCheckpoint with serialized storage, tracking the cached RDD ids
+    * so the caller can drop the round once its successor is materialized. */
+  private def cpSer(spark: SparkSession, df: DataFrame): (DataFrame, Set[Int]) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    (out, (after -- before))
+  }
+
+  private def dropCached(spark: SparkSession, ids: Set[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
 
   /** Alternating star contraction. `edges`: string columns (src, dst).
     *
@@ -44,19 +68,23 @@ object ConnectedComponents {
       maxIterations: Int = 30,
       skewHardened: Boolean = false
   ): DataFrame = {
-    def mat(df: DataFrame): DataFrame = if (skewHardened) df.localCheckpoint() else df
+    var matIds = Set.empty[Int] // skewHardened per-round materializations
+    def mat(df: DataFrame): DataFrame = if (skewHardened) {
+      val (out, ids) = cpSer(spark, df); matIds ++= ids; out
+    } else df
     val nodes = edges
       .select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
     // canonical undirected edge list (a < b), self-loops dropped
-    var e = edges
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    var (e, eIds) = cpSer(
+      spark,
+      edges
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
 
     def signature(df: DataFrame): (Long, Long) = {
       // xor-fold: order-independent, overflow-free under ANSI mode (the edge
@@ -96,10 +124,16 @@ object ConnectedComponents {
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      matIds = Set.empty
+      val (next, nextIds) = cpSer(spark, smallStar(largeStar(e)))
       val nextSig = signature(next)
+      // previous round + intra-round skew materializations are fully
+      // consumed once `next` is on disk — drop them so the cached working
+      // set stays at one round, not `iterations` rounds
+      dropCached(spark, eIds ++ matIds)
       converged = nextSig == sig
       e = next
+      eIds = nextIds
       sig = nextSig
       iteration += 1
     }
@@ -166,13 +200,14 @@ object ConnectedComponents {
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
-    var labels = und
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    var (labels, labelIds) = cpSer(
+      spark,
+      und
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("component", col("node")))
 
     var iteration = 0
     var converged = false
@@ -187,11 +222,12 @@ object ConnectedComponents {
         .groupBy("node")
         .agg(min("component").as("component"))
 
-      val updated = labels
-        .union(neighbourMin)
-        .groupBy("node")
-        .agg(min("component").as("component"))
-        .localCheckpoint()
+      val (updated, updatedIds) = cpSer(
+        spark,
+        labels
+          .union(neighbourMin)
+          .groupBy("node")
+          .agg(min("component").as("component")))
 
       val changed = updated
         .join(labels.withColumnRenamed("component", "old"), "node")
@@ -199,7 +235,9 @@ object ConnectedComponents {
         .limit(1)
         .count()
 
+      dropCached(spark, labelIds)
       labels = updated
+      labelIds = updatedIds
       converged = changed == 0
       iteration += 1
     }
