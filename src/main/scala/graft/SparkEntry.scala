@@ -95,6 +95,10 @@ object SparkEntry {
     // 2^32 integer ranks — exact, order-free, oracle-reproducible)
     "kg_pagerank" -> ((s, dir) =>
       graft.kg.PageRank.run(KgPipeline.cooccurrence(mentions(s, dir)), iterations = 5)),
+    // per-node triangle counts (local clustering): degree-ordered edge
+    // orientation; oracle uses the naive a<b<c self-join formulation
+    "kg_triangles" -> ((s, dir) =>
+      graft.kg.Triangles.triangleCounts(KgPipeline.cooccurrence(mentions(s, dir)))),
     // bounded-depth BFS (graph traversal): min-hop distance from concept
     // Q15 over the canonicalization edge universe, frontier-expansion loop
     "kg_khop" -> ((s, dir) => KgPipeline.kHopNeighborhood(s, seed = "Q15", maxHops = 3)),
@@ -340,6 +344,15 @@ object SparkEntry {
             when(col("doc_id") % 4 === 0, concat(lit(" novel"), col("doc_id").cast("string")))
               .otherwise(lit(""))).as("text"))
       TextAnalysis.ngramNovelty(scored, d.where(col("doc_id") % 10 === 0), minCount = 2L)
+    }),
+    // DSIR-style hashed-bigram importance weighting: target = the src0
+    // exemplar corpus, every other doc scored by its quantized
+    // target/raw likelihood-ratio sum
+    "data_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.data.TextAnalysis.importanceWeights(
+        d.where(col("source") =!= "src0"),
+        d.where(col("source") === "src0"))
     }),
     // keyword retrieval: tf × integer inverse-df weights, top-10
     "search_topk" -> ((s, dir) =>
@@ -1002,6 +1015,7 @@ object SparkEntry {
     "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
     "kg_pagerank" -> OracleGen.pageRankSql(5),
+    "kg_triangles" -> OracleGen.trianglesSql,
     "kg_khop" -> OracleGen.kHopSql("Q15", 3),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
@@ -1206,6 +1220,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, CAST(SUM(rare) AS BIGINT) AS n_rare,
         |       CAST(SUM(rare) AS DOUBLE) / COUNT(*) AS novelty
         |FROM j GROUP BY 1""".stripMargin,
+    // DSIR importance: same portable md5 bucketing, same quantized
+    // integer likelihood ratios — no log floats, so exact hash compare
+    "data_dsir" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |rb AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512 AS bkt FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM raw) WHERE len(toks) >= 2)),
+        |tb AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512 AS bkt FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tgt) WHERE len(toks) >= 2)),
+        |th AS (SELECT bkt, COUNT(*) AS ct FROM tb GROUP BY 1),
+        |rh AS (SELECT bkt, COUNT(*) AS cr FROM rb GROUP BY 1),
+        |w AS (SELECT bkt, ((COALESCE(ct, 0) + 1) * 1048576) // (COALESCE(cr, 0) + 1) AS w_q
+        |      FROM rh FULL JOIN th USING (bkt))
+        |SELECT rb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, CAST(SUM(w.w_q) AS BIGINT) AS score_q
+        |FROM rb JOIN w USING (bkt) GROUP BY 1""".stripMargin,
     // linear-idf retrieval: integer weights (ln is not cross-engine
     // bit-stable; exact long division is), deterministic tie-break
     "search_topk" ->

@@ -98,6 +98,49 @@ object TextAnalysis {
         (col("n_rare").cast("double") / col("n_bigrams")).as("novelty"))
   }
 
+  /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): rank raw
+    * docs by how target-like their hashed-bigram distribution is. Bigrams
+    * hash into `nBuckets` buckets via the portable md5 hash, so the DuckDB
+    * oracle reproduces the bucketing bit-for-bit; each bucket carries the
+    * add-one-smoothed target/raw count ratio as a QUANTIZED long
+    * ((ct+1)*2^20 div (cr+1)). The target/raw corpus totals of the true
+    * likelihood ratio are bucket-independent constants, so they cancel
+    * under ranking and dropping them keeps every product inside a long. A
+    * doc's score is the sum of its bigram occurrences' bucket weights:
+    * order-free long addition, exact at any partitioning.
+    *
+    * Scale posture: two corpus passes (histogram fit, then scoring) — the
+    * DSIR shape. Both histograms are <= nBuckets rows and BROADCAST into
+    * the scoring pass; the only corpus-scale shuffle is the per-doc
+    * partial-agg sum. The target corpus is the hand-curated exemplar set
+    * and assumed dictionary-scale.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, nBuckets: Int = 512): DataFrame = {
+    def bucketed(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))
+          )).as("g"))
+      .select(col("doc_id"), pmod(Dedup.portableTokenHash(col("g")), lit(nBuckets.toLong)).as("bkt"))
+    val tHist = bucketed(target).groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val rHist = bucketed(raw).groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val weights = rHist
+      .join(tHist, Seq("bkt"), "full")
+      .selectExpr(
+        "bkt",
+        s"((coalesce(ct, 0L) + 1L) * ${1L << 20}L) div (coalesce(cr, 0L) + 1L) AS w_q")
+    bucketed(raw)
+      .join(broadcast(weights), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_q")).as("score_q"))
+  }
+
   /** PII scrubbing — the redaction pass every public-corpus training
     * pipeline runs before packing (emails / phone numbers / IPv4 addresses
     * replaced by typed placeholder tokens, with per-kind match counts kept

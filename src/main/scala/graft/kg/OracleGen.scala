@@ -194,6 +194,31 @@ object OracleGen {
        |FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** Triangle-count oracle: naive a<b<c three-way self-join over the
+    * co-occurrence edges — a genuinely different formulation from the
+    * engine's degree-ordered orientation (counts are orientation-free). */
+  val trianglesSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT e1.ca AS u, e1.cb AS v, e2.cb AS w
+       |  FROM co e1 JOIN co e2 ON e2.ca = e1.cb
+       |       JOIN co e3 ON e3.ca = e1.ca AND e3.cb = e2.cb),
+       |corners AS (
+       |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+       |nodes AS (SELECT ca AS node FROM co UNION SELECT cb AS node FROM co)
+       |SELECT n.node AS concept_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_triangles
+       |FROM nodes n LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners GROUP BY 1) c
+       |     ON c.node = n.node""".stripMargin
+
   /** k-hop oracle: independent recursive-CTE walk (bounded by hops, so it
     * terminates despite cycles) with a min-hop rollup — cross-checks the
     * engine's frontier-expansion BFS. */

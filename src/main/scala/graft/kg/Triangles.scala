@@ -1,0 +1,81 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counts over the undirected concept co-occurrence
+  * graph — the local-clustering analytic ("how interlinked is this
+  * concept's neighbourhood") that complements PageRank's global
+  * centrality. Triangle membership is what distinguishes a concept that
+  * merely co-occurs widely from one sitting inside a densely connected
+  * topic cluster.
+  *
+  * Algorithm: degree-ordered edge orientation (the standard distributed
+  * triangle-counting shape — cf. Suri & Vassilvitskii, "Counting Triangles
+  * and the Curse of the Last Reducer", WWW 2011). Every undirected edge is
+  * oriented from its lower- to its higher-(degree, id) endpoint; wedges
+  * are generated per node from its OUT-neighbours only, and a wedge
+  * (u→v, u→w) closes into a triangle iff the oriented edge v→w exists.
+  * Each triangle is found exactly once (at its lowest-rank corner).
+  *
+  * Scale posture: orientation bounds every out-degree by O(sqrt(m)), so
+  * the wedge self-join materializes O(m^1.5) candidate rows worst-case —
+  * the provably optimal bound for this join shape — instead of the
+  * Σ deg² blow-up a hub suffers under naive (id-ordered) wedging: a hot
+  * concept has huge IN-degree but tiny out-degree, so hubs cost nothing
+  * at wedge time. All joins are shuffle joins on node keys (nothing
+  * node-sized is broadcast); the closing-edge join keys on (v, w) pairs,
+  * which orientation keeps near-uniform. Counts are orientation-
+  * independent, so the DuckDB oracle cross-checks with the naive
+  * a<b<c three-way self-join instead — two genuinely different
+  * formulations agreeing on every row.
+  */
+object Triangles {
+
+  /** @param edges undirected edges (concept_a, concept_b, ...) with
+    *              concept_a < concept_b, one row per pair.
+    * @return (concept_id, n_triangles) for every node of the graph,
+    *         zero-count nodes included. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("concept_a").as("a"), col("concept_b").as("b")).distinct()
+    val deg = e
+      .select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    val aLower = struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b"))
+    // (lo, hi, hi_deg): lo = lower-rank endpoint; hi_deg carried so wedge
+    // ordering below needs no re-join against the degree table
+    val oriented = withDeg
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"),
+        when(aLower, col("deg_b")).otherwise(col("deg_a")).as("hi_deg"))
+      .localCheckpoint() // feeds the wedge self-join AND the closing join
+
+    val o1 = oriented.as("o1")
+    val o2 = oriented.as("o2")
+    val wedges = o1
+      .join(
+        o2,
+        col("o1.lo") === col("o2.lo") &&
+          struct(col("o1.hi_deg"), col("o1.hi")) < struct(col("o2.hi_deg"), col("o2.hi")))
+      .select(col("o1.lo").as("u"), col("o1.hi").as("v"), col("o2.hi").as("w"))
+    // rank(v) < rank(w), so the closing edge — if present — is oriented v→w
+    val tri = wedges.join(
+      oriented.select(col("lo").as("v"), col("hi").as("w")),
+      Seq("v", "w"))
+
+    val corners = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("cnt"))
+    deg
+      .join(corners, Seq("node"), "left")
+      .select(col("node").as("concept_id"), coalesce(col("cnt"), lit(0L)).as("n_triangles"))
+  }
+}

@@ -162,6 +162,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 4))
   }
 
+  test("DSIR importance: target-like docs outscore off-target docs; weights exact on a hand case") {
+    val target = Seq((100L, "solar panels cut emissions fast", "en", "tgt", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val raw = Seq(
+      (1L, "solar panels cut emissions fast today", "en", "raw", 37L), // shares 4 target bigrams
+      (2L, "quarterly revenue met guidance expectations", "en", "raw", 43L) // shares none
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = TextAnalysis
+      .importanceWeights(raw, target, nBuckets = 512)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc 1: 6 tokens -> 5 bigrams, 4 hit target buckets (ct=1, cr=1 each:
+    // weight (1+1)*2^20/(1+1) = 2^20) and 1 misses (ct=0, cr=1: 2^19);
+    // doc 2: 4 bigrams, all weight 2^19 (assumes no md5-bucket collisions
+    // across the 9 distinct bigrams at 512 buckets — verified by the exact
+    // expected values below, which a collision would shift)
+    assert(w(1L) == ((5L, 4L * (1L << 20) + (1L << 19))))
+    assert(w(2L) == ((4L, 4L * (1L << 19))))
+    assert(w(1L)._2 > w(2L)._2)
+  }
+
   test("language id picks declared language on distinctive stopword text") {
     val sample = Seq(
       (1L, "the cat and the dog is on the mat with food", "en"),

@@ -74,6 +74,53 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_ == 3), "graph should have depth-3 reachability from Q15")
   }
 
+  /** Single-threaded reference: count triangles by brute-force set
+    * intersection over sorted adjacency — independent of both the engine's
+    * degree orientation and the oracle's three-way self-join. */
+  private def referenceTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = und.map(_._1).distinct
+    nodes.map { n =>
+      val nb = adj(n)
+      // each triangle at n counted twice over ordered neighbour pairs
+      n -> nb.toSeq.map(m => (adj(m) & nb).size).sum.toLong / 2
+    }.toMap
+  }
+
+  test("triangle counts equal brute-force reference on K4 + appendage + detached edge") {
+    // K4 (Q1..Q4, 4 triangles, 3 per corner), Q5 hanging off Q1, Q6-Q7 detached
+    val tedges = Seq(
+      ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"), ("Q2", "Q3"), ("Q2", "Q4"), ("Q3", "Q4"),
+      ("Q1", "Q5"), ("Q6", "Q7"))
+    val df = tedges.toDF("concept_a", "concept_b")
+    val got = graft.kg.Triangles
+      .triangleCounts(df)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === referenceTriangles(tedges))
+    assert(got("Q1") === 3L && got("Q5") === 0L && got("Q6") === 0L)
+  }
+
+  test("triangle counts equal brute-force reference on a pseudo-random graph with a hub") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val base = (0 until 160).map(_ => (rnd.nextInt(n), rnd.nextInt(n))).filter(p => p._1 != p._2)
+    val hub = (1 until n).filter(_ => rnd.nextBoolean()).map(i => (0, i)) // hot node 0
+    val tedges = (base ++ hub)
+      .map { case (a, b) => (s"N${math.min(a, b)}", s"N${math.max(a, b)}") }
+      .distinct
+    val df = tedges.toDF("concept_a", "concept_b").repartition(13)
+    val got = graft.kg.Triangles
+      .triangleCounts(df)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === referenceTriangles(tedges))
+    assert(got.values.sum > 0, "graph must actually contain triangles")
+  }
+
   test("ranks are insensitive to edge-list order (fixed-point sums are exact)") {
     val df1 = edges.toDF("concept_a", "concept_b", "n_convs")
     val df2 = edges.reverse.toDF("concept_a", "concept_b", "n_convs").repartition(7)
