@@ -37,7 +37,14 @@ object Triangles {
     * @return (concept_id, n_triangles) for every node of the graph,
     *         zero-count nodes included. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("concept_a").as("a"), col("concept_b").as("b")).distinct()
+    // canonicalize defensively: an edge listed in both orientations must
+    // not become two oriented rows (wedges would double-count)
+    val e = edges
+      .select(
+        least(col("concept_a"), col("concept_b")).as("a"),
+        greatest(col("concept_a"), col("concept_b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
     val deg = e
       .select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
