@@ -99,6 +99,21 @@ object SparkEntry {
     // orientation; oracle uses the naive a<b<c self-join formulation
     "kg_triangles" -> ((s, dir) =>
       graft.kg.Triangles.triangleCounts(KgPipeline.cooccurrence(mentions(s, dir)))),
+    // common-neighbour link prediction: top-k non-adjacent concept pairs
+    // by shared-neighbour count. The raw conv-grain co-occurrence graph is
+    // COMPLETE (every concept pair co-occurs somewhere in a big corpus),
+    // so prediction runs on the strong-edge backbone: edges within 85% of
+    // the max weight — a RELATIVE threshold, so the pruning is scale-free
+    // (1-row max aggregate broadcast, no driver-side collect)
+    "kg_link_predict" -> ((s, dir) => {
+      val co = KgPipeline.cooccurrence(mentions(s, dir))
+      val mx = co.agg(max(col("n_convs")).as("mx"))
+      val strong = co
+        .join(broadcast(mx))
+        .where(col("n_convs") * 100 >= col("mx") * 85)
+        .select("concept_a", "concept_b")
+      graft.kg.Triangles.linkPrediction(strong, k = 20)
+    }),
     // bounded-depth BFS (graph traversal): min-hop distance from concept
     // Q15 over the canonicalization edge universe, frontier-expansion loop
     "kg_khop" -> ((s, dir) => KgPipeline.kHopNeighborhood(s, seed = "Q15", maxHops = 3)),
@@ -1016,6 +1031,7 @@ object SparkEntry {
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
     "kg_pagerank" -> OracleGen.pageRankSql(5),
     "kg_triangles" -> OracleGen.trianglesSql,
+    "kg_link_predict" -> OracleGen.linkPredictionSql(20),
     "kg_khop" -> OracleGen.kHopSql("Q15", 3),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,

@@ -219,6 +219,36 @@ object OracleGen {
        |FROM nodes n LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners GROUP BY 1) c
        |     ON c.node = n.node""".stripMargin
 
+  /** Link-prediction oracle: common-neighbour counts over the STRONG-edge
+    * backbone (weight within 85% of max — same scale-free relative
+    * threshold as the query) via plain adjacency self-join (no degree
+    * cap — the query uses a cap far above this graph's max degree, so the
+    * formulations must agree), top-k with the same deterministic
+    * (score desc, a, b) boundary. */
+  def linkPredictionSql(k: Int): String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT MAX(w) AS m FROM co0),
+       |co AS (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |und AS (SELECT ca AS u, cb AS v FROM co UNION ALL SELECT cb, ca FROM co),
+       |cn AS (
+       |  SELECT x.v AS a, y.v AS b, COUNT(*) AS n_common
+       |  FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+       |  GROUP BY 1, 2),
+       |ne AS (
+       |  SELECT cn.a, cn.b, cn.n_common FROM cn
+       |  LEFT JOIN co e ON e.ca = cn.a AND e.cb = cn.b WHERE e.ca IS NULL)
+       |SELECT a AS concept_a, b AS concept_b, CAST(n_common AS BIGINT) AS n_common
+       |FROM ne ORDER BY n_common DESC, a, b LIMIT $k""".stripMargin
+
   /** k-hop oracle: independent recursive-CTE walk (bounded by hops, so it
     * terminates despite cycles) with a min-hop rollup — cross-checks the
     * engine's frontier-expansion BFS. */

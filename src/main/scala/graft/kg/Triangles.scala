@@ -85,4 +85,42 @@ object Triangles {
       .join(corners, Seq("node"), "left")
       .select(col("node").as("concept_id"), coalesce(col("cnt"), lit(0L)).as("n_triangles"))
   }
+
+  /** Common-neighbour link prediction: the top-k NON-adjacent concept
+    * pairs ranked by how many neighbours they share — "which concepts
+    * should probably be related but aren't linked yet", the classic
+    * missing-edge suggestion over a knowledge graph.
+    *
+    * Scale posture: wedge generation is Σ C(deg(u), 2), inherently
+    * quadratic in degree — so nodes above `maxDeg` are excluded from
+    * wedge generation (NOT from the result pairs). That is the standard
+    * mitigation AND the statistically right call: a shared super-hub
+    * neighbour ("both co-occur with 'climate change'") carries no signal,
+    * exactly like a stopword in retrieval. The exclusion is a pre-join
+    * filter on the (node, degree) table; everything downstream keys on
+    * candidate pairs, which the cap keeps near-uniform. Deterministic
+    * (score desc, a, b) ordering so the top-k boundary is
+    * oracle-reproducible. */
+  def linkPrediction(edges: DataFrame, maxDeg: Long = 10000L, k: Int = 20): DataFrame = {
+    val e = edges
+      .select(
+        least(col("concept_a"), col("concept_b")).as("a"),
+        greatest(col("concept_a"), col("concept_b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val small = und.join(deg.where(col("deg") <= maxDeg).select("u"), Seq("u"))
+    val x = small.as("x")
+    val y = small.as("y")
+    val cn = x
+      .join(y, col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    cn.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("n_common").desc, col("a"), col("b"))
+      .limit(k)
+      .select(col("a").as("concept_a"), col("b").as("concept_b"), col("n_common"))
+  }
 }

@@ -121,6 +121,42 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got.values.sum > 0, "graph must actually contain triangles")
   }
 
+  test("link prediction equals brute-force common-neighbour ranking; degree cap excludes hub wedges") {
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val base = (0 until 90).map(_ => (rnd.nextInt(n), rnd.nextInt(n))).filter(p => p._1 != p._2)
+    val hub = (1 until n).map(i => (0, i)) // node 0 adjacent to EVERYONE
+    val tedges = (base ++ hub).map(p => (f"N${math.min(p._1, p._2)}%02d", f"N${math.max(p._1, p._2)}%02d")).distinct
+    val df = tedges.toDF("concept_a", "concept_b").repartition(5)
+
+    def reference(maxDeg: Int): Seq[(String, String, Long)] = {
+      val und = (tedges ++ tedges.map(_.swap)).distinct
+      val adj = und.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      val eligible = adj.filter(_._2.size <= maxDeg).keySet
+      val edgeSet = tedges.toSet
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (u <- eligible; v <- adj(u); w <- adj(u); if v < w)
+        counts((v, w)) = counts.getOrElse((v, w), 0L) + 1L
+      counts.toSeq
+        .collect { case ((a, b), c) if !edgeSet((a, b)) => (a, b, c) }
+        .sortBy { case (a, b, c) => (-c, a, b) }
+        .take(8)
+    }
+
+    def got(maxDeg: Long): Seq[(String, String, Long)] =
+      graft.kg.Triangles
+        .linkPrediction(df, maxDeg = maxDeg, k = 8)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+
+    assert(got(10000L) === reference(10000))
+    // capping at 28 excludes only the hub (degree 29); scores must drop
+    // the hub's wedge contributions but hub PAIRS may still appear
+    assert(got(28L) === reference(28))
+    assert(got(10000L) !== got(28L), "hub exclusion must change the ranking on this graph")
+  }
+
   test("ranks are insensitive to edge-list order (fixed-point sums are exact)") {
     val df1 = edges.toDF("concept_a", "concept_b", "n_convs")
     val df2 = edges.reverse.toDF("concept_a", "concept_b", "n_convs").repartition(7)
