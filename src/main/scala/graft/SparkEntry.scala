@@ -117,6 +117,18 @@ object SparkEntry {
     // bounded-depth BFS (graph traversal): min-hop distance from concept
     // Q15 over the canonicalization edge universe, frontier-expansion loop
     "kg_khop" -> ((s, dir) => KgPipeline.kHopNeighborhood(s, seed = "Q15", maxHops = 3)),
+    // weighted label-propagation communities: synchronous rounds, fixed
+    // iteration count, min-label tie rule — all-long/string-min arithmetic
+    "kg_communities" -> ((s, dir) =>
+      graft.kg.Communities.labelPropagation(KgPipeline.cooccurrence(mentions(s, dir)), iterations = 4)),
+    // local clustering coefficient (ppm fixed-point) — triangles normalized
+    // by the neighbour-pair count
+    "kg_clustering" -> ((s, dir) =>
+      graft.kg.Triangles.clusteringCoefficients(KgPipeline.cooccurrence(mentions(s, dir)))),
+    // bounded weighted shortest paths (Bellman-Ford rounds) from the
+    // max-strength concept; oracle = recursive-CTE walk enumeration
+    "kg_shortest_path" -> ((s, dir) =>
+      graft.kg.ShortestPaths.fromStrongestNode(KgPipeline.cooccurrence(mentions(s, dir)), maxHops = 3)),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -1033,6 +1045,9 @@ object SparkEntry {
     "kg_triangles" -> OracleGen.trianglesSql,
     "kg_link_predict" -> OracleGen.linkPredictionSql(20),
     "kg_khop" -> OracleGen.kHopSql("Q15", 3),
+    "kg_communities" -> OracleGen.communitiesSql(4),
+    "kg_clustering" -> OracleGen.clusteringSql,
+    "kg_shortest_path" -> OracleGen.shortestPathSql(3),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,

@@ -297,6 +297,100 @@ object OracleGen {
        |SELECT node AS concept_id, r AS rank_q FROM r$iterations""".stripMargin
   }
 
+  /** Weighted label-propagation oracle: the synchronous recurrence unrolled
+    * into per-iteration CTE triples — (dst, label) incident-weight sums,
+    * per-dst max, MIN-label winner — mirroring
+    * [[Communities.labelPropagation]]'s min(struct(-ws, label)) argmax
+    * exactly (long sums + string mins only, so bit-equal). */
+  def communitiesSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations)
+      .map { i =>
+        s"""s$i AS (
+           |  SELECT e.dst, l.label, CAST(SUM(e.w) AS BIGINT) AS ws
+           |  FROM sym e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |m$i AS (SELECT dst, MAX(ws) AS mx FROM s$i GROUP BY 1),
+           |l$i AS (
+           |  SELECT s.dst AS node, MIN(s.label) AS label
+           |  FROM s$i s JOIN m$i m ON m.dst = s.dst AND s.ws = m.mx GROUP BY 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT ca AS src, cb AS dst, w FROM co UNION ALL SELECT cb, ca, w FROM co),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+       |$iterCtes
+       |SELECT node AS concept_id, label AS community FROM l$iterations""".stripMargin
+  }
+
+  /** Clustering-coefficient oracle: the naive-triangle chain plus a degree
+    * CTE and the same ppm floor-division formula. */
+  val clusteringSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT e1.ca AS u, e1.cb AS v, e2.cb AS w
+       |  FROM co e1 JOIN co e2 ON e2.ca = e1.cb
+       |       JOIN co e3 ON e3.ca = e1.ca AND e3.cb = e2.cb),
+       |corners AS (
+       |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT ca AS node FROM co UNION ALL SELECT cb FROM co) GROUP BY 1),
+       |tc AS (
+       |  SELECT d.node, d.deg, COALESCE(c.cnt, 0) AS tri
+       |  FROM deg d LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners GROUP BY 1) c
+       |       ON c.node = d.node)
+       |SELECT node AS concept_id, CAST(deg AS BIGINT) AS deg,
+       |  CAST(tri AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN deg >= 2 THEN (2 * tri * 1000000) // (deg * (deg - 1)) ELSE 0 END AS BIGINT) AS coef_ppm
+       |FROM tc""".stripMargin
+
+  /** Bounded-weighted-shortest-path oracle: recursive-CTE walk enumeration
+    * (≤ maxHops edges, costs accumulated in exact longs) + MIN rollup —
+    * independent of the engine's Bellman-Ford relaxation rounds. Seed =
+    * max-strength node, tie min id, same as the engine. */
+  def shortestPathSql(maxHops: Int): String =
+    s"""WITH RECURSIVE $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT ca AS src, cb AS dst, CAST(1000000 // w AS BIGINT) AS cost FROM co
+       |  UNION ALL SELECT cb, ca, CAST(1000000 // w AS BIGINT) FROM co),
+       |strength AS (
+       |  SELECT node, SUM(w) AS wtot FROM (
+       |    SELECT ca AS node, w FROM co UNION ALL SELECT cb, w FROM co) GROUP BY 1),
+       |seed AS (SELECT node FROM strength ORDER BY wtot DESC, node LIMIT 1),
+       |walk(node, cost, hops) AS (
+       |  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+       |  UNION ALL
+       |  SELECT e.dst, w.cost + e.cost, w.hops + 1
+       |  FROM walk w JOIN sym e ON e.src = w.node WHERE w.hops < $maxHops)
+       |SELECT node AS concept_id, CAST(MIN(cost) AS BIGINT) AS dist_q
+       |FROM walk GROUP BY 1""".stripMargin
+
   /** Component-edge VALUES list shared by the canonical oracles. */
   private def componentEdgeValuesFor(cs: Vector[Concept]): String = {
     val ids = cs.map(_.wikibaseId).toSet

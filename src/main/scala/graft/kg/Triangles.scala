@@ -86,6 +86,38 @@ object Triangles {
       .select(col("node").as("concept_id"), coalesce(col("cnt"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node — the normalized form of the
+    * triangle counts: coef(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction
+    * of v's neighbour pairs that are themselves linked ("is this concept's
+    * neighbourhood a clique or a star"). Emitted FIXED-POINT (parts per
+    * million, floor division) so the ratio is a long and the DuckDB oracle
+    * reproduces it exactly; deg < 2 → 0 by convention (no pairs to close).
+    * Costs one extra degree aggregate + broadcast-sized join over
+    * [[triangleCounts]] — the O(m^1.5) wedge bound carries over unchanged. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(
+        least(col("concept_a"), col("concept_b")).as("a"),
+        greatest(col("concept_a"), col("concept_b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = e
+      .select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    triangleCounts(edges)
+      .join(deg, col("concept_id") === col("node"))
+      .select(
+        col("concept_id"),
+        col("deg"),
+        col("n_triangles"),
+        when(
+          col("deg") >= 2,
+          expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))")
+        ).otherwise(lit(0L)).as("coef_ppm"))
+  }
+
   /** Common-neighbour link prediction: the top-k NON-adjacent concept
     * pairs ranked by how many neighbours they share — "which concepts
     * should probably be related but aren't linked yet", the classic

@@ -157,6 +157,117 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got(10000L) !== got(28L), "hub exclusion must change the ranking on this graph")
   }
 
+  /** Single-threaded reference LPA: synchronous weighted rounds, max total
+    * incident weight per label, tie → min label. */
+  private def referenceLpa(edges: Seq[(String, String, Long)], iterations: Int): Map[String, String] = {
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val nodes = sym.map(_._1).distinct
+    var labels: Map[String, String] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iterations) {
+      labels = sym
+        .groupBy(_._2) // by dst
+        .map { case (dst, es) =>
+          val votes = es.groupBy(e => labels(e._1)).map { case (l, vs) => l -> vs.map(_._3).sum }
+          val mx = votes.values.max
+          dst -> votes.collect { case (l, w) if w == mx => l }.min
+        }
+    }
+    labels
+  }
+
+  test("label propagation equals the synchronous single-threaded reference (two planted blocks)") {
+    // two dense blocks joined by one weak bridge; ties exercised inside blocks
+    val ledges = Seq(
+      ("A1", "A2", 5L), ("A1", "A3", 5L), ("A2", "A3", 5L),
+      ("B1", "B2", 5L), ("B1", "B3", 5L), ("B2", "B3", 5L),
+      ("A3", "B1", 1L))
+    val df = ledges.toDF("concept_a", "concept_b", "n_convs").repartition(3)
+    val got = graft.kg.Communities
+      .labelPropagation(df, iterations = 4)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(got === referenceLpa(ledges, 4))
+    // the two blocks must settle on different communities
+    assert(Set("A1", "A2", "A3").map(got).size === 1)
+    assert(Set("B1", "B2", "B3").map(got).size === 1)
+    assert(got("A1") !== got("B1"))
+  }
+
+  test("label propagation matches the reference on a weighted pseudo-random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 30
+    val ledges = (0 until 120)
+      .map(_ => (rnd.nextInt(n), rnd.nextInt(n), rnd.nextInt(9) + 1L))
+      .filter(p => p._1 != p._2)
+      .map { case (a, b, w) => (f"N${math.min(a, b)}%02d", f"N${math.max(a, b)}%02d", w) }
+      .groupBy(e => (e._1, e._2)) // one row per pair, like the co-occurrence table
+      .map { case ((a, b), es) => (a, b, es.head._3) }
+      .toSeq
+    val df = ledges.toDF("concept_a", "concept_b", "n_convs").repartition(7)
+    val got = graft.kg.Communities
+      .labelPropagation(df, iterations = 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(got === referenceLpa(ledges, 3))
+  }
+
+  test("clustering coefficients: ppm formula over brute-force triangles and degrees") {
+    val tedges = Seq(
+      ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"), ("Q2", "Q3"), ("Q2", "Q4"), ("Q3", "Q4"),
+      ("Q1", "Q5"), ("Q6", "Q7"))
+    val df = tedges.toDF("concept_a", "concept_b")
+    val got = graft.kg.Triangles
+      .clusteringCoefficients(df)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val tri = referenceTriangles(tedges)
+    val und = (tedges ++ tedges.map(_.swap)).distinct
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    for ((n, (d, t, c)) <- got) {
+      assert(d === deg(n) && t === tri(n))
+      val want = if (d >= 2) 2L * t * 1000000L / (d * (d - 1)) else 0L
+      assert(c === want, s"coef_ppm for $n")
+    }
+    // K4 corners sit in fully-closed neighbourhoods except Q1 (Q5 dangles)
+    assert(got("Q2")._3 === 1000000L && got("Q5")._3 === 0L)
+    assert(got("Q1")._3 === (2L * 3L * 1000000L) / (4L * 3L))
+  }
+
+  /** Single-threaded bounded Bellman-Ford from the max-strength seed. */
+  private def referenceSssp(edges: Seq[(String, String, Long)], maxHops: Int): Map[String, Long] = {
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val cost = sym.map { case (s, d, w) => (s, d, 1000000L / w) }
+    val strength = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    val seed = strength.toSeq.minBy { case (n, w) => (-w, n) }._1
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to maxHops) {
+      val relaxed = cost.flatMap { case (s, d, c) => dist.get(s).map(x => d -> (x + c)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  test("bounded shortest paths equal single-threaded Bellman-Ford; hop bound binds") {
+    // chain off the hub: Q1 is max-strength; Q9 is 4 hops out so maxHops=3 must exclude it
+    val sedges = Seq(
+      ("Q1", "Q2", 10L), ("Q1", "Q3", 5L), ("Q2", "Q3", 2L),
+      ("Q3", "Q4", 4L), ("Q4", "Q8", 2L), ("Q8", "Q9", 2L))
+    val df = sedges.toDF("concept_a", "concept_b", "n_convs").repartition(3)
+    val got = graft.kg.ShortestPaths
+      .fromStrongestNode(df, maxHops = 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === referenceSssp(sedges, 3))
+    assert(got("Q1") === 0L)
+    assert(!got.contains("Q9"), "Q9 is beyond the hop bound")
+    // the 2-hop path Q1->Q2->Q3 (100000+500000) loses to the direct edge (200000)
+    assert(got("Q3") === 200000L)
+  }
+
   test("ranks are insensitive to edge-list order (fixed-point sums are exact)") {
     val df1 = edges.toDF("concept_a", "concept_b", "n_convs")
     val df2 = edges.reverse.toDF("concept_a", "concept_b", "n_convs").repartition(7)
