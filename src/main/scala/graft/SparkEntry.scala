@@ -91,6 +91,9 @@ object SparkEntry {
     "kg_nodes" -> ((s, dir) =>
       KgPipeline.nodes(s, KgPipeline.eligibleTurns(Transcripts.read(s, dir)), KgPipeline.defaultConcepts)),
     "kg_cooccurrence" -> ((s, dir) => KgPipeline.cooccurrence(mentions(s, dir))),
+    // co-occurrence significance: quantized lift (exp-PMI) — divides the
+    // chance co-occurrence rate out of the raw counts; log-free fixed point
+    "kg_pmi" -> ((s, dir) => KgPipeline.cooccurrenceLift(mentions(s, dir))),
     // fixed-point weighted PageRank over the co-occurrence graph (scale
     // 2^32 integer ranks — exact, order-free, oracle-reproducible)
     "kg_pagerank" -> ((s, dir) =>
@@ -384,6 +387,31 @@ object SparkEntry {
     // keyword retrieval: tf × integer inverse-df weights, top-10
     "search_topk" -> ((s, dir) =>
       graft.data.Search.searchTopK(docs(s, dir), Seq("merge", "window", "customer"), k = 10)),
+    // BM25-shaped retrieval: tf saturation + doc-length normalization in
+    // exact fixed-point longs (k1=1.2, b=0.75 as rationals)
+    "search_bm25" -> ((s, dir) =>
+      graft.data.Search.searchBm25(docs(s, dir), Seq("merge", "window", "customer"), k = 10)),
+    // exact quantile gate: keep the top 60% of docs by stopword-ppm quality
+    // score; threshold = the k-th largest score via a histogram-grain
+    // running sum (never a window over documents), ties inclusive
+    "data_quality_gate" -> ((s, dir) =>
+      graft.data.Quantiles.qualityGate(docs(s, dir), keepPct = 60)),
+    // exact nearest-rank percentile summary of the quality-score
+    // distribution — same histogram-grain running sum, one row per pct
+    "data_quantiles" -> ((s, dir) => graft.data.Quantiles.scorePercentiles(docs(s, dir))),
+    // HLL register table over the corpus token stream: portable 60-bit md5
+    // hash, bucket = h mod 256, per-bucket max trailing-zero rank — the
+    // mergeable distinct-count sketch with oracle-checkable state
+    "sketch_distinct" -> ((s, dir) => graft.data.Sketches.hllRegisters(docs(s, dir), m = 256)),
+    // incremental twin: sketch the 90% "old corpus" and the 10% batch
+    // separately, merge registers (union + MAX); oracle = the from-scratch
+    // full-corpus sketch — equality IS the merge law
+    "sketch_distinct_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.data.Sketches.mergeRegisters(
+        graft.data.Sketches.hllRegisters(d.where(col("doc_id") % 10 =!= 9), m = 256),
+        graft.data.Sketches.hllRegisters(d.where(col("doc_id") % 10 === 9), m = 256))
+    }),
     // C4-style corpus cleaning over planted line structure: the flat token
     // corpus is re-sentenced (8-token lines with terminal '.'), then noisy
     // lines are planted — corpus-wide boilerplate dup (%4), a too-short
@@ -1041,6 +1069,7 @@ object SparkEntry {
     "kg_triples" -> OracleGen.triplesSql,
     "kg_nodes" -> OracleGen.nodesSql,
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
+    "kg_pmi" -> OracleGen.pmiSql,
     "kg_pagerank" -> OracleGen.pageRankSql(5),
     "kg_triangles" -> OracleGen.trianglesSql,
     "kg_link_predict" -> OracleGen.linkPredictionSql(20),
@@ -1282,6 +1311,62 @@ object SparkEntry {
         |       CAST(SUM(tf.tf * ((1000000 * (n.n_docs + 1)) // (df.df + 1))) AS BIGINT) AS score
         |FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
         |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin,
+    // BM25 replication: identical fixed-point chain, DuckDB `//` floor
+    // division matching Spark `div` on the all-positive operands
+    "search_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+        |hits AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM hits
+        |       WHERE t IN ('merge', 'window', 'customer') GROUP BY 1, 2),
+        |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(((1000000 * (n_docs + 1)) // (df.df + 1))
+        |    * ((tf.tf * 2200 * 1000) //
+        |       (tf.tf * 1000 + (1200 * (250 + (750 * ((1000 * dl.dl * n_docs) // tot)) // 1000)) // 1000))) AS BIGINT) AS score
+        |FROM tf JOIN dl USING (doc_id) JOIN df ON tf.t = df.t CROSS JOIN stats
+        |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin,
+    // exact quantile gate: same histogram running-sum threshold election
+    "data_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    (1000000 * CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         t -> list_contains(['the','a','an','and','of','to','in'], t))) AS BIGINT))
+        |      // CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS score_q
+        |  FROM documents),
+        |hist AS (SELECT score_q, COUNT(*) AS c FROM scored GROUP BY 1),
+        |cum AS (SELECT score_q, SUM(c) OVER (ORDER BY score_q DESC) AS cum, SUM(c) OVER () AS n FROM hist),
+        |thr AS (SELECT MAX(score_q) AS thr FROM cum WHERE cum >= GREATEST(1, (n * 60) // 100))
+        |SELECT s.doc_id, CAST(s.score_q AS BIGINT) AS score_q FROM scored s, thr WHERE s.score_q >= thr.thr""".stripMargin,
+    // nearest-rank percentiles over the same score histogram
+    "data_quantiles" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    (1000000 * CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         t -> list_contains(['the','a','an','and','of','to','in'], t))) AS BIGINT))
+        |      // CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS score_q
+        |  FROM documents),
+        |hist AS (SELECT score_q, COUNT(*) AS c FROM scored GROUP BY 1),
+        |cum AS (SELECT score_q, SUM(c) OVER (ORDER BY score_q ASC) AS cum, SUM(c) OVER () AS n FROM hist),
+        |p(pct) AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)))
+        |SELECT p.pct, CAST(MIN(c.score_q) AS BIGINT) AS value
+        |FROM p CROSS JOIN cum c WHERE c.cum >= GREATEST(1, (c.n * p.pct) // 100)
+        |GROUP BY 1""".stripMargin,
+    // HLL registers: identical portable hash + pure-bit-op trailing zeros
+    "sketch_distinct" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |r AS (SELECT h % 256 AS bucket,
+        |             bit_count(((h // 256) & -(h // 256)) - 1) + 1 AS rho FROM h)
+        |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho_max FROM r GROUP BY 1""".stripMargin,
+    // the incremental merge must equal the from-scratch full-corpus sketch
+    "sketch_distinct_incr" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |r AS (SELECT h % 256 AS bucket,
+        |             bit_count(((h // 256) & -(h // 256)) - 1) + 1 AS rho FROM h)
+        |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho_max FROM r GROUP BY 1""".stripMargin,
     // full C4-clean replication: same planting, same keeper election
     // ((min doc_id, line_idx) per distinct line == row_number = 1)
     "text_c4_clean" ->

@@ -27,6 +27,59 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** BM25-shaped ranked retrieval in EXACT fixed-point arithmetic — adds the
+    * two things [[searchTopK]]'s linear tf·idf lacks: term-frequency
+    * saturation (a doc repeating "merge" 50× is not 50× more relevant) and
+    * document-length normalization (long docs stop winning by volume alone).
+    * With k1 = 1.2 and b = 0.75 held as the rationals 1200/1000 and 750/1000:
+    *
+    *   lnorm_q = (1000 · dl · N) div Σdl                 (dl/avgdl, scale 10^3)
+    *   K_q     = (1200 · (250 + (750 · lnorm_q) div 1000)) div 1000
+    *   tfp_q   = (tf · 2200 · 1000) div (tf · 1000 + K_q) (< 2200, scale 10^3)
+    *   idf_w   = (10^6 · (N + 1)) div (df + 1)            (same linear idf as
+    *                                                       searchTopK — ln is
+    *                                                       not cross-engine
+    *                                                       bit-stable)
+    *   score   = Σ_t idf_w(t) · tfp_q(t, d)
+    *
+    * Every step is a long floor-division, so the DuckDB oracle replays the
+    * score bit-for-bit. Overflow headroom: idf_w·tfp_q ≤ 2.2·10^9·(N+1),
+    * in-long up to N ≈ 4·10^9 documents.
+    *
+    * Scale: same shape as searchTopK — the token explode is filtered to the
+    * broadcast query terms before any shuffle; df/N/Σdl are tiny broadcast
+    * aggregates. The one addition is the per-doc length join, which keys the
+    * hit-bounded tf table against the map-only (doc_id, dl) projection —
+    * the shuffle carries one 16-byte row per doc, not tokens. Top-k is
+    * TakeOrderedAndProject with a deterministic (score desc, doc_id) boundary.
+    */
+  def searchBm25(docs: DataFrame, query: Seq[String], k: Int = 10): DataFrame = {
+    val terms = query.distinct
+    val termArr: Column = array(terms.map(lit): _*)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val hits = toks
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .where(array_contains(termArr, col("t")))
+    val tf = hits.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .selectExpr(
+        "doc_id",
+        """((1000000 * (n_docs + 1)) div (df + 1))
+          | * ((tf * 2200 * 1000) div
+          |    (tf * 1000 + (1200 * (250 + (750 * ((1000 * dl * n_docs) div tot)) div 1000)) div 1000))
+          | AS s""".stripMargin)
+      .groupBy("doc_id")
+      .agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def searchTopK(docs: DataFrame, query: Seq[String], k: Int = 10): DataFrame = {
     val terms = query.distinct
     val termArr: Column = array(terms.map(lit): _*)

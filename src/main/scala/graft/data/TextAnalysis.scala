@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in")
+  private[data] val stopwords = Seq("the", "a", "an", "and", "of", "to", "in")
 
   /** Per-document quality features: token/char counts, average token length,
     * stopword ratio, punctuation ratio, uppercase ratio — the usual cheap

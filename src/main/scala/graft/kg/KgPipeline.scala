@@ -385,6 +385,39 @@ object KgPipeline {
       .agg(count(lit(1)).as("n_convs"))
   }
 
+  /** Co-occurrence SIGNIFICANCE (quantized lift — exp(PMI)): raw co-counts
+    * over-weight pairs of globally frequent concepts (two concepts that each
+    * appear in half the corpus co-occur constantly by chance); lift divides
+    * that chance rate out:
+    *
+    *   lift_q(a,b) = (10^6 · n_ab · N) div (n_a · n_b)
+    *
+    * where n_x = conversations mentioning x and N = conversations mentioning
+    * anything. 10^6 = independence; above = genuinely associated. The
+    * log-free form keeps every step a long floor-division (ln is not
+    * cross-engine bit-stable), exactly preserving the PMI ordering.
+    * Overflow headroom: n_ab·N < 9.2×10^12 in-long; beyond that drop the
+    * scale constant — rankings are scale-invariant.
+    *
+    * Scale posture: the marginals n_a are one map-side-combined aggregate on
+    * the already-distinct (conv, concept) pairs; N is a 1-row aggregate;
+    * both join back dictionary-sized (broadcast), so the only corpus-scale
+    * work remains cooccurrence's own pair aggregation. */
+  def cooccurrenceLift(m: DataFrame): DataFrame = {
+    val perConv = m.select("conv_id", "concept_id").distinct()
+    val marg = perConv.groupBy("concept_id").agg(count(lit(1)).as("n"))
+    val total = perConv.select("conv_id").distinct().agg(count(lit(1)).as("n_total"))
+    cooccurrence(m)
+      .join(broadcast(marg.select(col("concept_id").as("concept_a"), col("n").as("n_a"))), Seq("concept_a"))
+      .join(broadcast(marg.select(col("concept_id").as("concept_b"), col("n").as("n_b"))), Seq("concept_b"))
+      .crossJoin(broadcast(total))
+      .selectExpr(
+        "concept_a",
+        "concept_b",
+        "n_convs",
+        "(1000000 * n_convs * n_total) div (n_a * n_b) AS lift_q")
+  }
+
   /** J7 end-to-end: canonical mention ids. Each extracted mention's surface
     * is linked against the broadcast dictionary (Linking), surfaces/concepts
     * are clustered by connected components over dictionary + hierarchy edges

@@ -297,6 +297,26 @@ object OracleGen {
        |SELECT node AS concept_id, r AS rank_q FROM r$iterations""".stripMargin
   }
 
+  /** Lift (exp-PMI) oracle: the co-occurrence chain plus marginal/total
+    * CTEs and the same quantized floor-division formula. */
+  val pmiSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |marg AS (SELECT concept_id, CAST(COUNT(*) AS BIGINT) AS n FROM pc GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_total FROM pc)
+       |SELECT co.ca AS concept_a, co.cb AS concept_b, co.n_ab AS n_convs,
+       |  (1000000 * co.n_ab * t.n_total) // (ma.n * mb.n) AS lift_q
+       |FROM co JOIN marg ma ON ma.concept_id = co.ca
+       |        JOIN marg mb ON mb.concept_id = co.cb CROSS JOIN tot t""".stripMargin
+
   /** Weighted label-propagation oracle: the synchronous recurrence unrolled
     * into per-iteration CTE triples — (dst, label) incident-weight sums,
     * per-dst max, MIN-label winner — mirroring

@@ -598,6 +598,128 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
   }
 
+  test("bm25: exact fixed-point scores, tf saturation and length normalization") {
+    val corpus = Seq(
+      (1L, "merge merge merge merge"),           // tf=4, dl=4
+      (2L, "merge sort"),                        // tf=1, dl=2
+      (3L, "merge a b c d e f g h i j k l m n o"), // tf=1, dl=16 (long doc)
+      (4L, "nothing relevant")                   // dl=2
+    ).toDF("doc_id", "text")
+    val got = graft.data.Search
+      .searchBm25(corpus, Seq("merge"), k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // replicate the fixed-point chain locally
+    val nDocs = 4L; val tot = 4L + 2L + 16L + 2L
+    def score(tf: Long, dl: Long): Long = {
+      val lnorm = 1000L * dl * nDocs / tot
+      val kq = 1200L * (250L + 750L * lnorm / 1000L) / 1000L
+      val tfp = tf * 2200L * 1000L / (tf * 1000L + kq)
+      val idf = 1000000L * (nDocs + 1) / (3L + 1) // df(merge)=3
+      idf * tfp
+    }
+    val gotMap = got.toMap
+    assert(gotMap === Map(1L -> score(4, 4), 2L -> score(1, 2), 3L -> score(1, 16)))
+    // saturation: 4 occurrences score < 4x one occurrence at equal length
+    assert(score(4, 4) < 4 * score(1, 4))
+    // length normalization: same tf, longer doc scores lower
+    assert(gotMap(2L) > gotMap(3L))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("quality gate: exact k-th-largest threshold, ties kept, histogram grain") {
+    // scores (stopword ppm over whitespace tokens):
+    //   "the x"      -> 500000     (x3 docs: ids 1,2,3)
+    //   "the the x"  -> 666666     (id 4)
+    //   "x y"        -> 0          (ids 5,6)
+    val corpus = Seq(
+      (1L, "the x"), (2L, "the x"), (3L, "the x"),
+      (4L, "the the x"), (5L, "x y"), (6L, "x y")
+    ).toDF("doc_id", "text")
+    // N=6, keep 60% -> k = 3; 3rd largest score = 500000; ties at the
+    // threshold are ALL kept -> docs 1,2,3,4 survive (4 > k by ties)
+    val got = graft.data.Quantiles
+      .qualityGate(corpus, keepPct = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 500000L, 2L -> 500000L, 3L -> 500000L, 4L -> 666666L))
+    // keepPct=100 keeps everything, including zero scores
+    assert(graft.data.Quantiles.qualityGate(corpus, keepPct = 100).count() === 6L)
+    // keepPct=1 -> k=1 -> only the single max-score doc
+    assert(
+      graft.data.Quantiles.qualityGate(corpus, keepPct = 1).collect().map(_.getLong(0)).toSeq
+        === Seq(4L))
+  }
+
+  test("score percentiles: exact nearest-rank values on a hand-built distribution") {
+    // scores: 0 (x2), 500000 (x3), 666666 (x1) -> N=6
+    val corpus = Seq(
+      (1L, "the x"), (2L, "the x"), (3L, "the x"),
+      (4L, "the the x"), (5L, "x y"), (6L, "x y")
+    ).toDF("doc_id", "text")
+    val got = graft.data.Quantiles
+      .scorePercentiles(corpus, Seq(25, 50, 75, 90, 99, 100))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toMap
+    // sorted asc: 0,0,500000,500000,500000,666666; k(p) = max(1,(6p)//100)
+    // p25->k1->0; p50->k3->500000; p75->k4->500000; p90->k5->500000;
+    // p99->k5->500000; p100->k6->666666
+    assert(got === Map(25 -> 0L, 50 -> 500000L, 75 -> 500000L, 90 -> 500000L,
+      99 -> 500000L, 100 -> 666666L))
+  }
+
+  test("hll registers equal a single-threaded computation; estimate within rel. error") {
+    // distributed registers vs a local recomputation of the same hash chain
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, s"tok$i tok${i % 7} shared common"))
+      .toDF("doc_id", "text")
+    val got = graft.data.Sketches
+      .hllRegisters(corpus, m = 256)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = (0 until 200).flatMap(i => Seq(s"tok$i", s"tok${i % 7}", "shared", "common"))
+    val want = toks
+      .map { t =>
+        val h = java.lang.Long.parseLong(md5hex(t).take(15), 16)
+        val v = h / 256
+        val rho = java.lang.Long.numberOfTrailingZeros(v) + 1 // 65 when v=0
+        (h % 256, rho.toLong)
+      }
+      .groupBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got === want)
+
+    // estimate accuracy on a 20k-distinct synthetic stream (expected
+    // rel. error 1.04/sqrt(256) ~ 6.5%; assert a loose 15%)
+    val big = (0 until 20000).map(i => (i.toLong, s"w${i}a w${i}b")).toDF("doc_id", "text")
+    val regs = graft.data.Sketches.hllRegisters(big, m = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val est = graft.data.Sketches.hllEstimate(regs, 256)
+    assert(math.abs(est - 40000.0) / 40000.0 < 0.15, s"estimate $est vs true 40000")
+  }
+
+  test("hll merge law: registers of a union == max-merge of the parts' registers") {
+    val a = (0 until 300).map(i => (i.toLong, s"a$i shared")).toDF("doc_id", "text")
+    val b = (0 until 150).map(i => (i.toLong, s"b$i a${i * 2} shared")).toDF("doc_id", "text") // overlaps a
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      graft.data.Sketches.hllRegisters(df, m = 64)
+    val merged = graft.data.Sketches
+      .mergeRegisters(regs(a), regs(b))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val full = regs(a.union(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === full)
+  }
+
   test("pii redaction: counts and placeholders on crafted rows") {
     val rows = Seq(
       (1L, "reach me at jo.doe@mail.example.org or call 555-0142 now"),

@@ -268,6 +268,27 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got("Q3") === 200000L)
   }
 
+  test("co-occurrence lift: exact quantized values; chance rate divided out") {
+    // convs: c1{A,B} c2{A,B} c3{A,C} c4{B} — duplicate mention rows must
+    // not inflate counts (per-conv distinct)
+    val m = Seq(
+      ("c1", "A"), ("c1", "A"), ("c1", "B"), ("c2", "A"), ("c2", "B"),
+      ("c3", "A"), ("c3", "C"), ("c4", "B")
+    ).toDF("conv_id", "concept_id")
+    val got = graft.kg.KgPipeline
+      .cooccurrenceLift(m)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // n_A=3 n_B=3 n_C=1 N=4; lift = (1e6·n_ab·N) div (n_a·n_b)
+    assert(got === Map(
+      ("A", "B") -> ((2L, 1000000L * 2 * 4 / (3 * 3))),
+      ("A", "C") -> ((1L, 1000000L * 1 * 4 / (3 * 1)))))
+    // the rare-but-always-together pair (A,C) must out-lift the frequent
+    // pair (A,B) even though it co-occurs half as often — the whole point
+    assert(got(("A", "C"))._2 > got(("A", "B"))._2)
+  }
+
   test("ranks are insensitive to edge-list order (fixed-point sums are exact)") {
     val df1 = edges.toDF("concept_a", "concept_b", "n_convs")
     val df2 = edges.reverse.toDF("concept_a", "concept_b", "n_convs").repartition(7)
