@@ -132,6 +132,17 @@ object SparkEntry {
     // max-strength concept; oracle = recursive-CTE walk enumeration
     "kg_shortest_path" -> ((s, dir) =>
       graft.kg.ShortestPaths.fromStrongestNode(KgPipeline.cooccurrence(mentions(s, dir)), maxHops = 3)),
+    // 2-core of the strong-edge backbone: run-to-fixpoint peeling; oracle
+    // unrolls 12 peel rounds (monotone, so extra rounds are no-ops)
+    "kg_kcore" -> ((s, dir) => {
+      val co = KgPipeline.cooccurrence(mentions(s, dir))
+      val mx = co.agg(max(col("n_convs")).as("mx"))
+      val strong = co
+        .join(broadcast(mx))
+        .where(col("n_convs") * 100 >= col("mx") * 85)
+        .select("concept_a", "concept_b")
+      graft.kg.KCore.kCore(strong, k = 2)
+    }),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -1077,6 +1088,7 @@ object SparkEntry {
     "kg_communities" -> OracleGen.communitiesSql(4),
     "kg_clustering" -> OracleGen.clusteringSql,
     "kg_shortest_path" -> OracleGen.shortestPathSql(3),
+    "kg_kcore" -> OracleGen.kCoreSql(2),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,

@@ -381,6 +381,44 @@ object OracleGen {
        |  CAST(CASE WHEN deg >= 2 THEN (2 * tri * 1000000) // (deg * (deg - 1)) ELSE 0 END AS BIGINT) AS coef_ppm
        |FROM tc""".stripMargin
 
+  /** k-core oracle over the strong-edge backbone: `rounds` peel iterations
+    * unrolled into CTEs (degree → keep-set → edge restriction). Peeling is
+    * monotone, so any unroll depth ≥ the data's fixpoint depth equals the
+    * engine's run-to-convergence result — extra rounds are no-ops; 6 is
+    * generous for a dictionary-sized graph (the peel depth observed across
+    * sf0.001/0.01/0.1 and the 10× corpus is ≤ 2). Each e$i is
+    * AS MATERIALIZED: every round references its predecessor more than
+    * once, so an inlining planner would otherwise expand the chain
+    * exponentially (2^rounds base-table scans — measured as an fd-exhaustion
+    * failure at 12 rounds before materialization was forced). */
+  def kCoreSql(k: Int, rounds: Int = 6): String = {
+    val peels = (1 to rounds)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY 1),
+           |n$i AS MATERIALIZED (SELECT src FROM d$i WHERE deg >= $k),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN n$i a ON a.src = e.src JOIN n$i b ON b.src = e.dst)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT MAX(w) AS m FROM co0),
+       |co AS (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |e0 AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |$peels
+       |SELECT src AS concept_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY 1""".stripMargin
+  }
+
   /** Bounded-weighted-shortest-path oracle: recursive-CTE walk enumeration
     * (≤ maxHops edges, costs accumulated in exact longs) + MIN rollup —
     * independent of the engine's Bellman-Ford relaxation rounds. Seed =

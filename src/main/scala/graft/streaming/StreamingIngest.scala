@@ -68,6 +68,25 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_mentions"), approx_count_distinct(col("conv_id")).as("approx_convs"))
   }
 
+  /** Streaming twin of [[graft.data.Sketches.hllRegisters]]: live distinct
+    * cardinality over the turn-text token stream as an HLL register table.
+    * The register MAX is a plain streaming aggregation in complete/update
+    * mode — the state is the ≤ m register rows themselves (fixed-size
+    * regardless of stream length — the whole point of the sketch), so no
+    * watermark is needed and replays are absorbed for free (MAX is
+    * idempotent: re-observing a token cannot change any register). After
+    * any prefix of the stream, the register table equals the batch sketch
+    * of exactly the rows seen — the streaming/batch parity StreamingSpec
+    * asserts. */
+  def hllRegistersStream(transcripts: DataFrame, m: Int = 256): DataFrame =
+    transcripts
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .selectExpr(s"h % $m AS bucket", s"h div $m AS v")
+      .selectExpr("bucket", "bit_count((v & -v) - 1) + 1 AS rho")
+      .groupBy("bucket")
+      .agg(max(col("rho")).cast("long").as("rho_max"))
+
   /** STATEFUL incremental MENTIONS_CONCEPT emission — the streaming twin of
     * the batch path's distinct-by-construction dedup and the Cypher MERGE
     * contract: per-conversation state (KeyValueGroupedDataset

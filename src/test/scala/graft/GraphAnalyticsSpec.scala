@@ -268,6 +268,52 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got("Q3") === 200000L)
   }
 
+  /** Single-threaded reference peeling to fixpoint. */
+  private def referenceKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    var adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+      changed = drop.nonEmpty
+      adj = adj.collect { case (n, nb) if !drop(n) => n -> (nb -- drop) }
+    }
+    adj.map { case (n, nb) => n -> nb.size }
+  }
+
+  test("k-core peeling equals reference: chain dissolves, K4 survives, cascade peels") {
+    // K4 (Q1..Q4) + a tail Q4-Q5-Q6 that must peel away in CASCADE (Q6
+    // first, then Q5, then Q4 keeps core degree 3), + detached chain Q7-Q8
+    val edges = Seq(
+      ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"), ("Q2", "Q3"), ("Q2", "Q4"), ("Q3", "Q4"),
+      ("Q4", "Q5"), ("Q5", "Q6"), ("Q7", "Q8"))
+    val df = edges.toDF("concept_a", "concept_b").repartition(3)
+    val got2 = graft.kg.KCore.kCore(df, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got2 === referenceKCore(edges, 2))
+    assert(got2.keySet === Set("Q1", "Q2", "Q3", "Q4"), "only the K4 survives the 2-core")
+    val got3 = graft.kg.KCore.kCore(df, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got3 === referenceKCore(edges, 3))
+    assert(got3.values.forall(_ >= 3), "3-core min-degree invariant")
+    // k above the max core dissolves everything
+    assert(graft.kg.KCore.kCore(df, k = 4).count() === 0L)
+  }
+
+  test("k-core on a pseudo-random hub graph matches reference peeling") {
+    val rnd = new scala.util.Random(31)
+    val n = 30
+    val base = (0 until 100).map(_ => (rnd.nextInt(n), rnd.nextInt(n))).filter(p => p._1 != p._2)
+    val hub = (1 until n).map(i => (0, i))
+    val edges = (base ++ hub)
+      .map(p => (f"N${math.min(p._1, p._2)}%02d", f"N${math.max(p._1, p._2)}%02d")).distinct
+    val df = edges.toDF("concept_a", "concept_b").repartition(5)
+    val got = graft.kg.KCore.kCore(df, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got === referenceKCore(edges, 3))
+    assert(got.nonEmpty, "hub graph should retain a 3-core")
+  }
+
   test("co-occurrence lift: exact quantized values; chance rate divided out") {
     // convs: c1{A,B} c2{A,B} c3{A,C} c4{B} — duplicate mention rows must
     // not inflate counts (per-conv distinct)

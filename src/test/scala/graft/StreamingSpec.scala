@@ -102,6 +102,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming HLL registers: batch parity after each batch, replays absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val regs = graft.streaming.StreamingIngest.hllRegistersStream(transcripts, m = 64)
+    val query = regs.writeStream
+      .format("memory")
+      .queryName("hll_stream")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      def batchRegs(texts: Seq[String]) =
+        graft.data.Sketches
+          .hllRegisters(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"), m = 64)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toMap
+      def streamRegs() = spark
+        .table("hll_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toMap
+
+      val t1 = Seq("alpha beta gamma delta", "beta gamma epsilon zeta")
+      input.addData(t1.zipWithIndex.map { case (t, i) => ("c1", i, "user", t, None: Option[String], ts(i)) }: _*)
+      query.processAllAvailable()
+      assert(streamRegs() === batchRegs(t1), "prefix parity after batch 1")
+
+      // second micro-batch extends the stream; a verbatim REPLAY of batch 1
+      // rides along and must not change any register (MAX is idempotent)
+      val t2 = Seq("eta theta iota kappa lambda")
+      input.addData((t1 ++ t2).zipWithIndex.map { case (t, i) =>
+        ("c2", i, "user", t, None: Option[String], ts(10 + i))
+      }: _*)
+      query.processAllAvailable()
+      assert(streamRegs() === batchRegs(t1 ++ t2), "prefix parity incl. replayed rows")
+    } finally query.stop()
+  }
+
   test("stateful incremental edges: at-least-once replays emit no duplicates (streaming MERGE)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
