@@ -77,6 +77,12 @@ object Bench {
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+    // comma-separated subset for targeted re-timing of individual queries
+    // (plan iteration without paying the full 90-query sweep)
+    val onlyQueries: Set[String] = sys.env
+      .get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
     // ---- part 1: synthetic input + scaling measurement FIRST (a clean JVM;
     // the 33-query sweep below pollutes JIT/GC state and adds >30% variance
@@ -198,7 +204,10 @@ object Bench {
     secWrite = math.min(secWriteFirst, writeRun())
     val queryTimes =
       if (!runQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq
+        .filter { case (name, _) => onlyQueries.isEmpty || onlyQueries(name) }
+        .sortBy(_._1)
+        .map { case (name, fn) =>
         val (_, sec) =
           try time(fn(spark, sfDir).count())
           catch { case _: Throwable => (-1L, -1.0) }

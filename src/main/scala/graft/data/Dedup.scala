@@ -268,18 +268,55 @@ object Dedup {
       minFrac: Double = 0.3
   ): DataFrame = {
     val evalSh = evalDocs
+      .select(col("text"))
+      .repartition(evalDocs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(split(col("text"), " ").as("toks"))
       .select(explode(shinglesFromTokens(col("toks"), n)).as("g"))
       .distinct()
+    // explode_OUTER, not explode: a plain explode gets an inferred
+    // `size(sh) > 0` filter (InferFiltersFromGenerate) which predicate
+    // pushdown then substitutes through the projections to the scan —
+    // re-materializing the whole n-gram construction (with a per-element
+    // re-split of the text) inside a Filter, ~8x the cost of the query
+    // (measured: 27 s -> ~1 s at sf0.1). explode_outer admits no such
+    // filter, so the shingle array is built exactly once. NOTE the final
+    // predicate must not carry a group-key-only conjunct (e.g.
+    // n_shingles > 0): a conjunct over group keys alone pushes below the
+    // aggregate and re-materializes size(<shingle expr>) in the scan
+    // filter — the same pathology at half strength. The frac comparison
+    // references the aggregate output, so it cannot push; try_divide makes
+    // it alone drop the zero-shingle rows (0-divisor -> null, never
+    // >= minFrac) without tripping ANSI-mode DIVIDE_BY_ZERO.
+    // pin parallelism before the shingle build: n-gram construction is an
+    // interpreted HOF (CPU-dense, byte-light), and a compact parquet input
+    // arrives as 1-2 partitions under byte-based splitting — the same
+    // pinned-repartition device as verifyJaccard (shuffling raw texts is
+    // trivial next to the transform work they fan out to)
+    val nPart = train.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val trainSh = train
+      .select(col("doc_id"), col("text"))
+      .repartition(nPart)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
+      // size must be computed BELOW the explode: an expression alongside a
+      // generator lands in a Project ABOVE the Generate (ExtractGenerator),
+      // which keeps the whole shingle array "required" and copies it into
+      // every exploded row (~50 strings per row, measured as the dominant
+      // cost of this query); with size bound first, column pruning marks
+      // the array unrequired and the generate emits bare (doc_id, n, g).
+      // The coalesce makes n_shingles NON-NULLABLE: the final frac
+      // predicate otherwise implies isnotnull(n_shingles), and
+      // InferFiltersFromConstraints pushes that through the group key to
+      // the SCAN — substituting isnotnull(size(<whole shingle expr>)) into
+      // a per-raw-row Filter whose inlined per-element re-splits cost ~8x
+      // the query (measured 9.1 s -> 0.9 s for the final stage at sf0.1)
+      .select(col("doc_id"), coalesce(size(col("sh")), lit(0)).as("n_shingles"), col("sh"))
+      .select(col("doc_id"), col("n_shingles"), explode_outer(col("sh")).as("g"))
     trainSh
       .join(broadcast(evalSh.withColumn("m", lit(1L))), Seq("g"), "left")
       .groupBy("doc_id", "n_shingles")
       .agg(coalesce(sum(col("m")), lit(0L)).as("n_overlap"))
-      .where(col("n_overlap").cast("double") / col("n_shingles") >= minFrac)
+      .where(try_divide(col("n_overlap").cast("double"), col("n_shingles")) >= minFrac)
       .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"), col("n_overlap"))
   }
 
