@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the default 240m code cache fills once whole-stage-codegen classes from
+  // ~90 query plans pile up; past that point the JIT stops compiling and
+  // cold-path numbers degrade 2x (the r4 first_run_sec regression) — size it
+  // so codegen'd methods never get flushed mid-bench
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -18,7 +18,10 @@ import graft.data.Similarity
   * BENCH/BASELINE.md.
   *
   * Env: SPARK_GRAFT_ANN_N (corpus size, default 200000),
-  *      SPARK_GRAFT_ANN_QUERIES (default 100), SPARK_GRAFT_CPUS (default 32).
+  *      SPARK_GRAFT_ANN_QUERIES (default 100), SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_ANN_CELLS (default 256; >Similarity.LiteralCellCap
+  *      exercises the two-level broadcast-codebook regime),
+  *      SPARK_GRAFT_ANN_PROBE (default 16).
   */
 object AnnBench {
 
@@ -45,11 +48,13 @@ object AnnBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "200000").toLong
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nCells = 256
-    val nProbe = 16
+    val nCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "256").toInt
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBE", "16").toInt
     val spark = Bench.session(cpus)
 
-    val path = s"/tmp/graft_ann_bench_$n"
+    // corpus keyed by (n, nCells): the planted cluster structure follows the
+    // cell count, so different cell configs must not share a corpus
+    val path = if (nCells == 256) s"/tmp/graft_ann_bench_$n" else s"/tmp/graft_ann_bench_${n}_c$nCells"
     if (!Bench.parquetComplete(path))
       synthesize(spark, n, nCells).repartition(cpus * 2).write.mode("overwrite").parquet(path)
     val emb = spark.read.parquet(path)

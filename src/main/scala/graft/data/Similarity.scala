@@ -13,9 +13,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale path: brute-force top-k is O(queries × corpus) with a broadcast
   * query side — fine when the query set is small. The IVF variant clusters
-  * the corpus once (assignment = argmin over broadcast centroids) and probes
-  * only `nProbe` cells per query, cutting the scanned fraction to
-  * ~nProbe/nCells at a small recall cost (measured in the test suite).
+  * the corpus once and probes only `nProbe` cells per query, cutting the
+  * scanned fraction to ~nProbe/nCells at a small recall cost (measured in
+  * the test suite and AnnBench).
+  *
+  * The codebook has two representation regimes, dispatched on nCells:
+  * up to [[LiteralCellCap]] it rides in the plan as literals (assignment is
+  * a map-only codegen'd argmin projection — zero shuffle); past that it
+  * becomes a two-level structure — a literal COARSE quantizer of
+  * ~sqrt(nCells) cells plus a BROADCAST fine-centroid table keyed by coarse
+  * parent — so per-row work is O(sqrt(nCells)) dots instead of O(nCells)
+  * and the plan no longer carries nCells×dim literals. 100 TB sizing: at
+  * nCells = 2^17 (the SemDeDup-paper regime) the coarse level caps at 128
+  * literal cells, giving ~4k fine candidates per row under wCoarse=4 and a
+  * ~64 MB fine-table broadcast — workable; past ~2^20 cells add a third
+  * level (coarse→mid→fine) the same way.
   */
 object Similarity {
 
@@ -70,9 +82,19 @@ object Similarity {
       .toSeq
     val q = 1048576.0 // 2^20: x*q is an exact exponent shift in IEEE double
     (1 to iters).foldLeft(seed) { (cents, _) =>
-      val refined = emb
-        .select(asDouble(col("embedding")).as("v"))
-        .select(array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"), col("v"))
+      // past the literal cap the refinement's assignment pass rides the
+      // two-level broadcast regime like every other consumer (Lloyd with an
+      // approximate assignment step is still a descent heuristic; the
+      // codebook stays deterministic because the coarse quantizer is)
+      val assignedStep =
+        if (cents.size <= LiteralCellCap)
+          emb
+            .select(asDouble(col("embedding")).as("v"))
+            .select(array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"), col("v"))
+        else
+          assignBroadcast(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
+            .select(col("cell"), col("v"))
+      val refined = assignedStep
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(sum(floor(col("x") * q + 0.5).cast("long")).as("s"), count(lit(1)).as("n"))
@@ -98,6 +120,128 @@ object Similarity {
       val cn = c.map(_ / nrm)
       struct((-dot(v, typedLit(cn))).as("negd"), lit(cell).as("cell"))
     }: _*)
+
+  /** Codebooks up to this size ride in the plan as literals (argmin/ranking
+    * is a map-only whole-stage-codegen projection — no join, no shuffle).
+    * Past it, the literal device stops being the right plan: the expression
+    * tree carries O(nCells) dot products per row and the plan itself bloats
+    * with nCells×dim literals, so assignment switches to the two-level
+    * broadcast regime below. */
+  val LiteralCellCap = 128
+
+  /** Driver-side deterministic spherical k-means over the FINE centroids —
+    * the coarse quantizer of the two-level regime. Input is the codebook
+    * itself (a bounded model artifact), so this is O(nCells · nCoarse · dim)
+    * driver work with sequential exact-double arithmetic: bit-reproducible,
+    * no cluster involvement. Returns (coarse codebook, fine-cell -> coarse
+    * parent). Ties break toward the lowest coarse id, matching cellStructs'
+    * (negd, cell) struct ordering. */
+  private[graft] def coarsen(
+      cents: Seq[(Int, Seq[Double])],
+      nCoarse: Int,
+      iters: Int = 3
+  ): (Seq[(Int, Seq[Double])], Map[Int, Int]) = {
+    val fine = cents.sortBy(_._1)
+    def normalized(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    def negCos(v: Seq[Double], cn: Seq[Double]): Double =
+      -v.iterator.zip(cn.iterator).map { case (a, b) => a * b }.sum
+    var coarse: Seq[(Int, Seq[Double])] =
+      fine.take(nCoarse).zipWithIndex.map { case ((_, c), i) => (i, c) }
+    var parent = Map.empty[Int, Int]
+    for (_ <- 1 to iters) {
+      val coarseN = coarse.map { case (ci, c) => (ci, normalized(c)) }
+      parent = fine.map { case (id, v) =>
+        id -> coarseN.minBy { case (ci, cn) => (negCos(v, cn), ci) }._1
+      }.toMap
+      coarse = coarse.map { case (ci, c0) =>
+        val members = fine.collect { case (id, v) if parent(id) == ci => v }
+        if (members.isEmpty) (ci, c0)
+        else (ci, members.transpose.map(xs => xs.sum / xs.size).toSeq)
+      }
+    }
+    (coarse, parent)
+  }
+
+  /** Candidate (vector, fine cell) pairs in the broadcast regime: a literal
+    * argtop over the small coarse codebook selects each vector's `wCoarse`
+    * nearest coarse cells (map-only, like the flat literal path), then an
+    * equi-join against the BROADCAST fine-centroid table keyed by coarse
+    * parent scores only the ~wCoarse·nCells/nCoarse fine centroids under
+    * those parents — per-row work drops from O(nCells) dots to
+    * O(nCoarse + wCoarse·nCells/nCoarse), and the plan carries nCoarse
+    * literals instead of nCells. The corpus is never shuffled; the fine
+    * table is the broadcast side. Like any multi-level IVF, cell membership
+    * becomes approximate at coarse-cell boundaries — wCoarse trades that
+    * recall against scan fraction (measured in AnnBench at 4096 cells).
+    * Input: (vec_id, v); output: (vec_id, v, cell, negd). */
+  private def broadcastCandidates(
+      vdf: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      wCoarse: Int
+  ): DataFrame = {
+    val spark = vdf.sparkSession
+    val nCoarse =
+      math.max(1, math.min(LiteralCellCap, math.ceil(math.sqrt(cents.size.toDouble)).toInt))
+    val (coarse, parent) = coarsen(cents, nCoarse)
+    val fineRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    cents.foreach { case (cell, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      fineRows.add(org.apache.spark.sql.Row(parent(cell), cell, if (nrm == 0.0) c else c.map(_ / nrm)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("coarse_cell", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(
+        "cn",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val fineDf = spark.createDataFrame(fineRows, schema)
+    vdf
+      .select(
+        col("vec_id"),
+        col("v"),
+        explode(slice(cellRanking(col("v"), coarse), 1, math.min(wCoarse, nCoarse))).as("cp"))
+      .select(col("vec_id"), col("v"), col("cp.cell").as("coarse_cell"))
+      .join(broadcast(fineDf), "coarse_cell")
+      .select(col("vec_id"), col("v"), col("cell"), (-dot(col("v"), col("cn"))).as("negd"))
+  }
+
+  /** Nearest-cell assignment in the broadcast regime: min(struct(negd,cell))
+    * over the candidate set — a map-side-combining partial aggregate, so the
+    * shuffle is one row per vector per partition regardless of wCoarse.
+    * Output matches the literal path: (vec_id, cell, v) (+negd). */
+  private def assignBroadcast(
+      vdf: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      wCoarse: Int = 4
+  ): DataFrame =
+    broadcastCandidates(vdf, cents, wCoarse)
+      .groupBy("vec_id")
+      // first(v) is deterministic here: every candidate row of a vec_id
+      // carries the identical vector
+      .agg(min(struct(col("negd"), col("cell"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("v"), col("m.negd").as("negd"))
+
+  /** Top-nProbe cells in the broadcast regime: rank the candidate set per
+    * vector. row_number over (negd, cell) reproduces the literal path's
+    * sort_array tie rule. The shuffle is candidate-grain (vec ·
+    * wCoarse·nCells/nCoarse small structs) — acceptable for query sets and
+    * for corpus-wide probe indexes at ingest; past that, raise nCoarse (or
+    * add a third level) rather than wCoarse. */
+  private def probeBroadcast(
+      vdf: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      nProbe: Int,
+      wCoarse: Int = 4
+  ): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("negd").asc, col("cell").asc)
+    broadcastCandidates(vdf, cents, wCoarse)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= nProbe)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
 
   /** Ascending-sorted cell ranking — element 1 is the nearest cell (ties
     * toward the lowest cell id), slice(.., 1, nProbe) the probe set. Only the
@@ -141,15 +285,16 @@ object Similarity {
       preCents: Option[Seq[(Int, Seq[Double])]] = None
   ): DataFrame = {
     val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
-    emb
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(
+    val vdf = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    if (cents.size <= LiteralCellCap)
+      vdf.select(
         col("vec_id"),
         // argmin without materializing a sort: array_min over the struct
         // array is the (max cosine, lowest cell) element
         array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"),
         col("v")
       )
+    else assignBroadcast(vdf, cents).select("vec_id", "cell", "v")
   }
 
   /** IVF-probed ANN top-k: each query scans only its nProbe nearest cells.
@@ -176,15 +321,18 @@ object Similarity {
     // time or the Lloyd refinement pass (a full corpus scan) re-runs here
     val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
     val assigned = preAssigned.getOrElse(ivfAssign(emb, nCells, Some(cents)))
-    val probes = emb
+    val qdf = emb
       .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
-      .select(
-        col("query_id"),
-        col("q"),
-        explode(slice(cellRanking(col("q"), cents), 1, nProbe)).as("p")
-      )
-      .select(col("query_id"), col("q"), col("p.cell").as("cell"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = (
+      if (cents.size <= LiteralCellCap)
+        qdf.select(
+          col("vec_id"),
+          col("v"),
+          explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))
+          .select(col("vec_id"), col("v"), col("p.cell").as("cell"))
+      else probeBroadcast(qdf, cents, nProbe)
+    ).select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     assigned
       .withColumn("nrm", norm(col("v"))) // per index row, not per candidate
@@ -209,10 +357,12 @@ object Similarity {
       preCents: Option[Seq[(Int, Seq[Double])]] = None
   ): DataFrame = {
     val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
-    emb
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))
-      .select(col("vec_id"), col("p.cell").as("cell"))
+    val vdf = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    if (cents.size <= LiteralCellCap)
+      vdf
+        .select(col("vec_id"), explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))
+        .select(col("vec_id"), col("p.cell").as("cell"))
+    else probeBroadcast(vdf, cents, nProbe).select("vec_id", "cell")
   }
 
   /** IVF-blocked embedding near-dup pairs — the scale path for corpus dedup.
@@ -347,15 +497,25 @@ object Similarity {
       threshold: Double = 0.4
   ): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val best = array_min(cellStructs(col("v"), cents))
     // lazy local checkpoint: the assignment feeds both sides of the
     // within-cell join plus the final keep/drop left join
     // norms are hoisted per VECTOR (the pair-join condition would otherwise
     // re-fold both 64-element self-dots per PAIR — O(pairs x dim) work that
     // is per-vector by nature); the cosine value is unchanged, so oracle
     // parity holds
-    val assigned = v
-      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"), best.getField("cell").as("cell"), best.getField("negd").as("negd"))
+    val assigned0 =
+      if (cents.size <= LiteralCellCap) {
+        val best = array_min(cellStructs(col("v"), cents))
+        v.select(
+          col("vec_id"),
+          col("v"),
+          norm(col("v")).as("nrm"),
+          best.getField("cell").as("cell"),
+          best.getField("negd").as("negd"))
+      } else
+        assignBroadcast(v, cents)
+          .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"), col("cell"), col("negd"))
+    val assigned = assigned0
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), (-col("negd") / col("nrm")).as("c2c"))
       .localCheckpoint(false)
     val a = assigned.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("cell"), col("c2c").as("ca"))

@@ -61,6 +61,12 @@ object KCore {
       und = next
       rounds += 1
     }
+    // a non-fixpoint edge set is not the k-core — fail loudly rather than
+    // silently returning a superset (maxRounds only bounds pathological
+    // inputs; the peel depth is ≤ the degeneracy ordering depth in practice)
+    require(
+      converged,
+      s"k-core peeling did not converge within $maxRounds rounds ($prevEdges edges remain); raise maxRounds")
     und
       .groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("deg"))

@@ -396,8 +396,14 @@ object KgPipeline {
     * anything. 10^6 = independence; above = genuinely associated. The
     * log-free form keeps every step a long floor-division (ln is not
     * cross-engine bit-stable), exactly preserving the PMI ordering.
-    * Overflow headroom: n_ab·N < 9.2×10^12 in-long; beyond that drop the
-    * scale constant — rankings are scale-invariant.
+    * Overflow headroom: n_ab·N < 9.2×10^12 in-long (≈3M conversations for a
+    * pair both members of which appear everywhere). Past that the numerator
+    * doesn't fit a long: under non-ANSI configs the multiply would WRAP
+    * silently (corrupt rankings, no error), and even under Spark 4's default
+    * ANSI mode it would only throw a bare ARITHMETIC_OVERFLOW — so the
+    * numerator is guarded per row and raises an actionable message first
+    * (the fix then is dropping the 10^6 scale constant — rankings are
+    * scale-invariant under it).
     *
     * Scale posture: the marginals n_a are one map-side-combined aggregate on
     * the already-distinct (conv, concept) pairs; N is a 1-row aggregate;
@@ -415,7 +421,17 @@ object KgPipeline {
         "concept_a",
         "concept_b",
         "n_convs",
-        "(1000000 * n_convs * n_total) div (n_a * n_b) AS lift_q")
+        // overflow guard: numerator = 10^6 * n_convs * n_total must stay in
+        // long; the check is division-only so it can never overflow itself
+        // (sessions run Spark 4's default ANSI mode, where a wrapped multiply
+        // throws a bare ARITHMETIC_OVERFLOW — this guard fires first with an
+        // actionable message instead)
+        """IF(n_convs <= (9223372036854775807 DIV 1000000) DIV n_total,
+          |   (1000000 * n_convs * n_total) DIV (n_a * n_b),
+          |   CAST(raise_error(concat('cooccurrenceLift numerator overflows long: n_convs=',
+          |        CAST(n_convs AS STRING), ' n_total=', CAST(n_total AS STRING),
+          |        '; drop the 10^6 scale constant (rankings are scale-invariant)')) AS BIGINT)
+          |) AS lift_q""".stripMargin)
   }
 
   /** J7 end-to-end: canonical mention ids. Each extracted mention's surface

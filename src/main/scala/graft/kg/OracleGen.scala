@@ -390,8 +390,12 @@ object OracleGen {
     * AS MATERIALIZED: every round references its predecessor more than
     * once, so an inlining planner would otherwise expand the chain
     * exponentially (2^rounds base-table scans — measured as an fd-exhaustion
-    * failure at 12 rounds before materialization was forced). */
-  def kCoreSql(k: Int, rounds: Int = 6): String = {
+    * failure at 12 rounds before materialization was forced). Default unroll
+    * is 16 (observed fixpoint depth ≤ 2 at all four corpus scales, but a
+    * pendant chain on the backbone peels one node per round — extra rounds
+    * past the fixpoint are free no-ops, so depth is cheap insurance against
+    * a false verification failure on a deeper corpus). */
+  def kCoreSql(k: Int, rounds: Int = 16): String = {
     val peels = (1 to rounds)
       .map { i =>
         s"""d$i AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY 1),
