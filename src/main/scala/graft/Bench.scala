@@ -178,11 +178,16 @@ object Bench {
       // two (0.409, 0.659), dragging the median to 0.777 while the engine's
       // quiet-host ratio sat >= 0.8. Nine-plus pairs with a TRIMMED median
       // (drop the best and worst pair before taking the median) needs four
-      // bad pairs out of nine to move the headline.
+      // bad pairs out of nine to move the headline. At much larger corpora
+      // (the sf1 run: 10x-longer legs, so per-run noise is relatively far
+      // smaller and 9 pairs would cost ~an hour) the minimum is tunable via
+      // SPARK_GRAFT_PAIRS_MIN; the default stays 9.
+      val minPairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS_MIN", "9").toInt
+      val maxPairs = minPairs + 3
       val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       val budgetStart = System.nanoTime()
       var i = 0
-      while (i < 9 || ((System.nanoTime() - budgetStart) < 420e9 && i < 12)) {
+      while (i < minPairs || ((System.nanoTime() - budgetStart) < 420e9 && i < maxPairs)) {
         pairs += runPair(i)
         i += 1
       }
@@ -272,8 +277,20 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errs = queryErrors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
+    // VmHWM = the JVM's lifetime peak resident set; in local mode the driver
+    // and all executor threads share this one process, so it is exactly the
+    // "did the run fit in memory or spill/thrash" evidence the sf1 record
+    // needs (0.0 if /proc is unavailable)
+    val peakRssGb: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("VmHWM:") => l.split("\\s+")(1).toDouble / 1048576.0 }
+          .getOrElse(0.0)
+        finally src.close()
+      } catch { case _: Exception => 0.0 }
     val json =
-      f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"n_query_errors":${queryErrors.size},"query_errors":$errs,"warm_caches_sec":$warmSec%.3f,"corpus":{"documents_rows":$corpusRows,"documents_hash":$corpusHash},"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_first_sec":$secWriteFirst%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
+      f"""{"metric":"triples_per_sec_local$cpus","value":$mainThroughput%.1f,"unit":"triples/sec","total_query_sec":$total%.3f,"n_query_errors":${queryErrors.size},"query_errors":$errs,"warm_caches_sec":$warmSec%.3f,"peak_rss_gb":$peakRssGb%.2f,"corpus":{"documents_rows":$corpusRows,"documents_hash":$corpusHash},"queries":$qs,"sf":"$sfDir","synthetic_turns":$synthTurns,"kg":{"triples":$triples32,"sec":$secMain%.3f,"first_run_sec":$sec32first%.3f,"write_inclusive_sec":$secWrite%.3f,"write_inclusive_first_sec":$secWriteFirst%.3f,"write_inclusive_triples_per_sec":${triples32 / secWrite}%.1f},"scaling":$scalingJson}"""
     // bare stdout line (run is forked with StdoutOutput — no [info] prefix)
     // plus a file copy in the working directory (gitignored), so the driver
     // can parse the metric either way from any checkout location

@@ -40,6 +40,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Top-w codebook cells for `v`, ascending (negd, cell) — the native
+    * expression (bit-identical scores and tie order to
+    * `slice(cellRanking(v, cents), 1, w)`, which it replaces in every hot
+    * path; see NearestCellsExpression for the parity contract and the
+    * measured 284us/row cost of the struct-array formulation). */
+  private[graft] def nearest(v: Column, cents: Seq[(Int, Seq[Double])], w: Int): Column =
+    graft.extract.NearestCellsExpression.nearestCells(v, cents, w)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine against a DRIVER-CONSTANT vector. aggregate/zip_with lambdas are
@@ -90,7 +98,7 @@ object Similarity {
         if (cents.size <= LiteralCellCap)
           emb
             .select(asDouble(col("embedding")).as("v"))
-            .select(array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"), col("v"))
+            .select(element_at(nearest(col("v"), cents, 1), 1).getField("cell").as("cell"), col("v"))
         else
           assignBroadcast(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
             .select(col("cell"), col("v"))
@@ -114,7 +122,7 @@ object Similarity {
     * driver-side so the per-cell score is a single dot product: cosine
     * ordering is invariant under the row's constant 1/norm(v) factor, so
     * neither norm(v) nor norm(c) needs computing per cell. */
-  private def cellStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  private[graft] def cellStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     array(cents.map { case (cell, c) =>
       val nrm = math.sqrt(c.map(x => x * x).sum)
       val cn = c.map(_ / nrm)
@@ -177,7 +185,7 @@ object Similarity {
     * becomes approximate at coarse-cell boundaries — wCoarse trades that
     * recall against scan fraction (measured in AnnBench at 4096 cells).
     * Input: (vec_id, v); output: (vec_id, v, cell, negd). */
-  private def broadcastCandidates(
+  private[graft] def broadcastCandidates(
       vdf: DataFrame,
       cents: Seq[(Int, Seq[Double])],
       wCoarse: Int
@@ -202,7 +210,7 @@ object Similarity {
       .select(
         col("vec_id"),
         col("v"),
-        explode(slice(cellRanking(col("v"), coarse), 1, math.min(wCoarse, nCoarse))).as("cp"))
+        explode(nearest(col("v"), coarse, math.min(wCoarse, nCoarse))).as("cp"))
       .select(col("vec_id"), col("v"), col("cp.cell").as("coarse_cell"))
       .join(broadcast(fineDf), "coarse_cell")
       .select(col("vec_id"), col("v"), col("cell"), (-dot(col("v"), col("cn"))).as("negd"))
@@ -246,7 +254,7 @@ object Similarity {
   /** Ascending-sorted cell ranking — element 1 is the nearest cell (ties
     * toward the lowest cell id), slice(.., 1, nProbe) the probe set. Only the
     * (small) query side pays the sort; corpus assignment uses array_min. */
-  private def cellRanking(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  private[graft] def cellRanking(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     sort_array(cellStructs(v, cents))
 
   /** Exact top-k cosine neighbours for each query vector (vec_id < nQueries).
@@ -289,9 +297,9 @@ object Similarity {
     if (cents.size <= LiteralCellCap)
       vdf.select(
         col("vec_id"),
-        // argmin without materializing a sort: array_min over the struct
-        // array is the (max cosine, lowest cell) element
-        array_min(cellStructs(col("v"), cents)).getField("cell").as("cell"),
+        // argmin without materializing a sort: the w=1 native ranking is
+        // the (max cosine, lowest cell) element
+        element_at(nearest(col("v"), cents, 1), 1).getField("cell").as("cell"),
         col("v")
       )
     else assignBroadcast(vdf, cents).select("vec_id", "cell", "v")
@@ -329,7 +337,7 @@ object Similarity {
         qdf.select(
           col("vec_id"),
           col("v"),
-          explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))
+          explode(nearest(col("v"), cents, nProbe)).as("p"))
           .select(col("vec_id"), col("v"), col("p.cell").as("cell"))
       else probeBroadcast(qdf, cents, nProbe)
     ).select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"))
@@ -360,7 +368,7 @@ object Similarity {
     val vdf = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     if (cents.size <= LiteralCellCap)
       vdf
-        .select(col("vec_id"), explode(slice(cellRanking(col("v"), cents), 1, nProbe)).as("p"))
+        .select(col("vec_id"), explode(nearest(col("v"), cents, nProbe)).as("p"))
         .select(col("vec_id"), col("p.cell").as("cell"))
     else probeBroadcast(vdf, cents, nProbe).select("vec_id", "cell")
   }
@@ -505,7 +513,7 @@ object Similarity {
     // parity holds
     val assigned0 =
       if (cents.size <= LiteralCellCap) {
-        val best = array_min(cellStructs(col("v"), cents))
+        val best = element_at(nearest(col("v"), cents, 1), 1)
         v.select(
           col("vec_id"),
           col("v"),

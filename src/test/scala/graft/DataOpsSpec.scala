@@ -102,6 +102,39 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest_cells native expression is bit-identical to the sort_array(cellStructs) reference") {
+    val cb = Similarity.ivfCentroids(emb, 16)
+    val v = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    for (w <- Seq(1, 4, 16)) {
+      val ref = v
+        .select($"vec_id", slice(sort_array(Similarity.cellStructs($"v", cb)), 1, w).as("r"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+        .toMap
+      val got = v
+        .select($"vec_id", Similarity.nearest($"v", cb, w).as("r"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+        .toMap
+      assert(got.keySet == ref.keySet)
+      // Row equality boxes doubles -> Double.equals -> doubleToLongBits:
+      // this comparison is BIT-exact, stricter than SQL equality
+      got.foreach { case (id, rows) => assert(rows == ref(id), s"vec $id w=$w") }
+    }
+  }
+
+  test("nearest_cells ties break toward the lowest cell id (duplicate centroids)") {
+    val dup: Seq[(Int, Seq[Double])] =
+      Seq(7 -> Seq(1.0, 0.0), 3 -> Seq(0.0, 1.0), 5 -> Seq(1.0, 0.0))
+    val one = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val top = one
+      .select(Similarity.nearest($"v", dup, 3).as("r"))
+      .collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getInt(1))
+    assert(top == Seq(5, 7, 3), s"expected tie toward lowest cell id, got $top")
+  }
+
   test("IVF ANN recall vs brute-force top-10 >= 0.7") {
     val exact = Similarity
       .bruteForceTopK(emb, nQueries = 20, k = 10)
