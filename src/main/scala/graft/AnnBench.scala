@@ -73,7 +73,19 @@ object AnnBench {
     val indexPath = s"/tmp/graft_ann_index_${n}_$nCells"
     val (cents, indexSec) = time {
       val c = Similarity.ivfCentroids(emb, nCells)
-      Similarity.ivfAssign(emb, nCells, Some(c)).write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+      // repartition ON the partition column before the dynamic-partition
+      // write: without it every task holds writer state for every cell it
+      // sees, so file count is tasks*nCells (131k files at 32x4096 — and the
+      // per-task partition sort OOMed an 8g heap at that width); with it the
+      // shuffle routes whole cells to tasks, file count is ~nCells, and each
+      // task sorts only its own cells. Same shape a real ingest wants.
+      Similarity
+        .ivfAssign(emb, nCells, Some(c))
+        .repartition(col("cell"))
+        .write
+        .mode("overwrite")
+        .partitionBy("cell")
+        .parquet(indexPath)
       c
     }
     val index = spark.read.parquet(indexPath).select("vec_id", "cell", "v")
