@@ -87,7 +87,14 @@ class GoldenPrSpec extends AnyFunSuite {
         info(f"$qid/${clfDir.getFileName}: P=${cm09.precision}%.3f R=${cm09.recall}%.3f tp=${cm09.tp} over ${passages.length} passages (all 4 thresholds + passage level >= 0.95)")
       }
     }
-    assert(evaluated >= 5, s"expected to evaluate at least 5 golden concept fixtures, got $evaluated")
+    // EVERY golden concept fixture family the reference ships is covered:
+    // Q123/g29kcna9, Q1286/7bt99yeu, Q218/6z4pufsm, Q218/q4xsgmjb,
+    // Q223/36bhx4mu, Q767/mgwutbqx, Q857/sd6wjpa2 — 7 evaluable families
+    // (the eighth, Q218/bavawka9, is a git-lfs stub with no content in the
+    // checkout). The exact count is asserted so a silently-skipped family
+    // (parse failure, empty surface reconstruction) fails the gate rather
+    // than shrinking the evidence.
+    assert(evaluated == 7, s"expected all 7 non-lfs golden concept fixture families, got $evaluated")
   }
 
   test("golden span ids reproduce via Identifier8") {
