@@ -720,6 +720,46 @@ object SparkEntry {
         .where(col("rk") <= 3)
         .select("user_id", "rk", "event_id")
     }),
+    // as-of join: every purchase matched to the user's latest view at or
+    // before it — the union-and-carry-forward plan (one shuffle, no range
+    // explosion), ties broken deterministically by view event_id; timestamps
+    // emitted as epoch seconds for cross-engine value parity
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view").select("event_id", "user_id", "ts", "value")
+      graft.data.TemporalJoins
+        .asofBackward(purchases, views, key = "user_id", ts = "ts",
+          rightTie = "event_id", rightVals = Seq("event_id", "ts", "value"), prefix = "view_")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          col("value"),
+          col("view_event_id"),
+          unix_timestamp(col("view_ts")).as("view_ts_s"),
+          col("view_value"))
+    }),
+    // band join: every (click, error) pair of the same user within ±1 h,
+    // via band-bucket equi-join (quadratic blowup confined to one time bin
+    // per key, never a per-key cross product)
+    "q_band_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.data.TemporalJoins.bandJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "error"),
+        key = "user_id", ts = "ts", bandSeconds = 3600L,
+        leftVals = Seq("event_id"), rightVals = Seq("event_id"), prefix = "err_")
+    }),
+    // exact heavy hitters over the per-doc-distinct 3-gram shingle stream
+    // (document-frequency boilerplate audit): bounded Misra-Gries candidate
+    // pass + exact verify pass — output is exact despite the sketch
+    "data_heavy_hitters" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(graft.data.Dedup.shinglesFromTokens(col("toks"))).as("shingle"))
+      graft.data.HeavyHitters.heavyHitters(sh, "shingle", phi = 5e-5, k = 20000)
+    }),
     "g9_balanced_sample" -> ((s, dir) => {
       // deterministic balanced sampling (G9, sampling.py:12-106): fixed quota
       // per stratum, ordered by a content hash instead of a seeded rand so the
@@ -1723,6 +1763,36 @@ object SparkEntry {
         |  SELECT event_id, event_type,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC) AS INT) AS rn
         |  FROM events WHERE event_type IS NOT NULL)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+    // independent formulation: per-purchase LATERAL argmax instead of the
+    // engine's union-and-carry-forward window
+    "q_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s, p.value,
+        |       m.event_id AS view_event_id,
+        |       CAST(floor(epoch(m.ts)) AS BIGINT) AS view_ts_s,
+        |       m.value AS view_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT v2.event_id, v2.ts, v2.value FROM v v2
+        |  WHERE v2.user_id = p.user_id AND v2.ts <= p.ts
+        |  ORDER BY v2.ts DESC, v2.event_id DESC LIMIT 1) m ON true""".stripMargin,
+    // independent formulation: direct inequality join (fine at oracle scale;
+    // the engine's band-bucket plan exists precisely because this explodes)
+    "q_band_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.event_id, e.event_id AS err_event_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(e.ts)) AS BIGINT) AS dt_s
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND abs(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(e.ts)) AS BIGINT)) <= 3600""".stripMargin,
+    // independent formulation: the full exact group-by the engine's two-pass
+    // sketch-then-verify provably equals (threshold = ceil(phi * n), phi=5e-5)
+    "data_heavy_hitters" ->
+      s"""WITH s AS (SELECT unnest(${graft.data.DedupOracles.shinglesExpr}) AS shingle FROM documents),
+        |tot AS (SELECT CAST(greatest(1, ceil(0.00005 * count(*))) AS BIGINT) AS t FROM s)
+        |SELECT shingle, count(*) AS cnt FROM s GROUP BY shingle
+        |HAVING count(*) >= (SELECT t FROM tot)""".stripMargin
   )
 }
