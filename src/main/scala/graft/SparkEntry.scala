@@ -56,11 +56,30 @@ object SparkEntry {
     s"$table:$h"
   }
 
+  /** Fetch-or-build with SUPERSESSION EVICTION: when the dataset under
+    * `dir` is rewritten (new fingerprint), entries for the old fingerprint
+    * are dropped from the map, so the superseded localCheckpoint/codebook
+    * becomes unreachable and Spark's ContextCleaner unpersists its blocks —
+    * a driver that regenerates the corpus N times in one JVM holds ONE
+    * artifact copy, not N. */
+  private def cachedArtifact[V](
+      cache: scala.collection.concurrent.TrieMap[(String, String, String), V],
+      s: SparkSession,
+      dir: String,
+      table: String)(build: => V): V = {
+    val appId = s.sparkContext.applicationId
+    val fp = fingerprint(dir, table)
+    val key = (appId, dir, fp)
+    cache.get(key).getOrElse {
+      cache.keys.filter(k => k._1 == appId && k._2 == dir && k._3 != fp).foreach(cache.remove)
+      cache.getOrElseUpdate(key, build)
+    }
+  }
+
   private val mentionsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def mentions(s: SparkSession, dir: String): DataFrame =
-    mentionsCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, fingerprint(dir, "documents")),
+    cachedArtifact(mentionsCache, s, dir, "documents")(
       KgPipeline.mentions(s, dir).toDF().localCheckpoint())
 
   /** Same posture for the co-occurrence edge list (the KG's weighted edge
@@ -70,8 +89,7 @@ object SparkEntry {
   private val coCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def coEdges(s: SparkSession, dir: String): DataFrame =
-    coCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, fingerprint(dir, "documents")),
+    cachedArtifact(coCache, s, dir, "documents")(
       KgPipeline.cooccurrence(mentions(s, dir)).localCheckpoint())
 
   /** MinHash signature index over the full corpus — in production a
@@ -81,8 +99,7 @@ object SparkEntry {
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, fingerprint(dir, "documents")),
+    cachedArtifact(sigCache, s, dir, "documents")(
       graft.data.Dedup.minhashSignatures(docs(s, dir), k = 32).localCheckpoint())
 
   /** The IVF codebook is an ingest-time model artifact (nCells centroid
@@ -94,8 +111,7 @@ object SparkEntry {
   private val codebooks =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[(Int, Seq[Double])]]
   private def ivfCodebook(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
-    codebooks.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, fingerprint(dir, "embeddings")),
+    cachedArtifact(codebooks, s, dir, "embeddings")(
       Similarity.ivfCentroids(emb(s, dir)))
 
   /** Build every shared session artifact (mention layer, co-occurrence

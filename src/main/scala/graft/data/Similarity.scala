@@ -158,19 +158,33 @@ object Similarity {
       -v.iterator.zip(cn.iterator).map { case (a, b) => a * b }.sum
     var coarse: Seq[(Int, Seq[Double])] =
       fine.take(nCoarse).zipWithIndex.map { case ((_, c), i) => (i, c) }
-    var parent = Map.empty[Int, Int]
-    for (_ <- 1 to iters) {
-      val coarseN = coarse.map { case (ci, c) => (ci, normalized(c)) }
-      parent = fine.map { case (id, v) =>
+    def assign(cs: Seq[(Int, Seq[Double])]): Map[Int, Int] = {
+      val coarseN = cs.map { case (ci, c) => (ci, normalized(c)) }
+      fine.map { case (id, v) =>
         id -> coarseN.minBy { case (ci, cn) => (negCos(v, cn), ci) }._1
       }.toMap
+    }
+    for (_ <- 1 to iters) {
+      val parent = assign(coarse)
       coarse = coarse.map { case (ci, c0) =>
         val members = fine.collect { case (id, v) if parent(id) == ci => v }
         if (members.isEmpty) (ci, c0)
         else (ci, members.transpose.map(xs => xs.sum / xs.size).toSeq)
       }
     }
-    (coarse, parent)
+    // FINAL assignment pass against the returned centroids: inside the loop
+    // parent is computed against the iteration's INPUT centroids, which are
+    // then re-estimated once more — returning that pair would file fine
+    // cells under parents that are no longer nearest while queries rank
+    // against the updated centroids (systematic recall loss at boundaries).
+    val parent = assign(coarse)
+    // Drop childless coarse cells (stale seeds parked at their initial
+    // position): they own no fine cells, so letting them win top-wCoarse
+    // ranking slots can only displace cells that DO carry candidates — in
+    // the worst case a vector whose every ranked parent is childless would
+    // silently drop out of the candidate join entirely.
+    val used = parent.values.toSet
+    (coarse.filter { case (ci, _) => used(ci) }, parent)
   }
 
   /** Candidate (vector, fine cell) pairs in the broadcast regime: a literal
@@ -210,7 +224,7 @@ object Similarity {
       .select(
         col("vec_id"),
         col("v"),
-        explode(nearest(col("v"), coarse, math.min(wCoarse, nCoarse))).as("cp"))
+        explode(nearest(col("v"), coarse, math.min(wCoarse, coarse.size))).as("cp"))
       .select(col("vec_id"), col("v"), col("cp.cell").as("coarse_cell"))
       .join(broadcast(fineDf), "coarse_cell")
       .select(col("vec_id"), col("v"), col("cell"), (-dot(col("v"), col("cn"))).as("negd"))
@@ -224,13 +238,23 @@ object Similarity {
       vdf: DataFrame,
       cents: Seq[(Int, Seq[Double])],
       wCoarse: Int = 4
-  ): DataFrame =
-    broadcastCandidates(vdf, cents, wCoarse)
+  ): DataFrame = {
+    // Aggregate NARROW, re-attach the vector by key join afterwards.
+    // Carrying v (dim×8 B) through the per-vec_id aggregation forces
+    // variable-length aggregation rows, which pushes the hash aggregate
+    // into its sort-based fallback — 1 MB sorter pages across 32 concurrent
+    // tasks measured OOMing an 8 GB heap at 2M vectors × 4096 cells. The
+    // fixed-width min(struct) aggregate stays in the fast unsafe map, and
+    // the one corpus-grain equi-join that restores v is far cheaper than
+    // the payload-widened aggregate at every scale.
+    val best = broadcastCandidates(vdf, cents, wCoarse)
       .groupBy("vec_id")
-      // first(v) is deterministic here: every candidate row of a vec_id
-      // carries the identical vector
-      .agg(min(struct(col("negd"), col("cell"))).as("m"), first(col("v")).as("v"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("v"), col("m.negd").as("negd"))
+      .agg(min(struct(col("negd"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.negd").as("negd"))
+    best
+      .join(vdf, "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"), col("negd"))
+  }
 
   /** Top-nProbe cells in the broadcast regime: rank the candidate set per
     * vector. row_number over (negd, cell) reproduces the literal path's

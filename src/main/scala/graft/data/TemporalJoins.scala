@@ -54,15 +54,30 @@ object TemporalJoins {
       rightTie: String,
       rightVals: Seq[String],
       prefix: String = "matched_"): DataFrame = {
+    val tieType = right.schema(rightTie).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(tieType),
+      s"rightTie must be an integral column for a deterministic tie-break " +
+        s"(a non-numeric column would cast to NULL and silently break determinism), " +
+        s"got ${tieType.catalogString}")
+    // SQL comparison semantics: a right row with NULL key or NULL ts matches
+    // nothing (`r.key = l.key AND r.ts <= l.ts` is never true on NULL) — but
+    // unioned in, a NULL ts would sort FIRST ascending and carry its payload
+    // into every otherwise-unmatched left row. Filter them out up front.
+    val rightClean = right.where(col(key).isNotNull && col(ts).isNotNull)
     val payload = struct(rightVals.map(col): _*)
-    val payloadType = right.select(payload).schema.head.dataType
+    val payloadType = rightClean.select(payload).schema.head.dataType
     val leftCols = left.columns.toSeq
     val lPart = left.select(
       leftCols.map(col) ++ Seq(
         lit(1).as("_is_left"),
         lit(Long.MaxValue).as("_tie"), // left rows sort after right rows at equal ts
         lit(null).cast(payloadType).as("_rv")): _*)
-    val rPart = right.select(
+    val rPart = rightClean.select(
       leftCols.map(c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(

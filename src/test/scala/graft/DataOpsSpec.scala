@@ -135,6 +135,35 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top == Seq(5, 7, 3), s"expected tie toward lowest cell id, got $top")
   }
 
+  test("coarsen: parent map consistent with RETURNED centroids, no childless coarse cells") {
+    val cb = Similarity.ivfCentroids(emb, 64)
+    val (coarse, parent) = Similarity.coarsen(cb, 8)
+    assert(parent.keySet == cb.map(_._1).toSet)
+    // every returned coarse cell owns >= 1 fine cell (childless seeds would
+    // win ranking slots while carrying zero candidates)
+    assert(parent.values.toSet == coarse.map(_._1).toSet)
+    // parent is the argmin against the RETURNED centroids (a stale map from
+    // the penultimate Lloyd iteration would file cells under non-nearest
+    // parents while queries rank against the updated centroids)
+    def normalized(c: Seq[Double]) = {
+      val n = math.sqrt(c.map(x => x * x).sum); if (n == 0.0) c else c.map(_ / n)
+    }
+    val cn = coarse.map { case (ci, c) => (ci, normalized(c)) }
+    cb.foreach { case (id, v) =>
+      val best = cn.minBy { case (ci, c) =>
+        (-v.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum, ci)
+      }._1
+      assert(parent(id) == best, s"fine cell $id filed under ${parent(id)}, nearest is $best")
+    }
+  }
+
+  test("broadcast-regime ivfAssign assigns EVERY vector exactly once") {
+    val n = emb.count()
+    val assigned = Similarity.ivfAssign(emb, nCells = 200) // > LiteralCellCap
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+  }
+
   test("IVF ANN recall vs brute-force top-10 >= 0.7") {
     val exact = Similarity
       .bruteForceTopK(emb, nQueries = 20, k = 10)

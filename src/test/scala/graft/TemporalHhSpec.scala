@@ -101,6 +101,29 @@ class TemporalHhSpec extends AnyFunSuite {
     assert(got(1L) == ((Some(12L), Some(20.0)))) // tie broken by larger right id
   }
 
+  test("asofBackward ignores right rows with NULL ts or NULL key (SQL comparison semantics)") {
+    import org.apache.spark.sql.types._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val lDf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "u1", ts(100L), 1.0), Row(2L, "u2", ts(100L), 2.0)), schema)
+    // u1 has ONLY a null-ts right row (must not match anything: NULL <= ts is
+    // never true in SQL); u2 has a null-key row (same) plus one real match
+    val rDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(11L, "u1", null, 10.0),
+        Row(12L, null, ts(50L), 20.0),
+        Row(13L, "u2", ts(50L), 30.0)), schema)
+    val got = TemporalJoins
+      .asofBackward(lDf, rDf, "user_id", "ts", "event_id", Seq("event_id", "value"), prefix = "m_")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some(13L)))
+  }
+
   test("bandJoin equals the brute-force inequality join, band edges inclusive exactly once") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     // pairs exactly AT the band edge, straddling bin boundaries, same-bin
