@@ -87,6 +87,29 @@ object StreamingIngest {
       .groupBy("bucket")
       .agg(max(col("rho")).cast("long").as("rho_max"))
 
+  /** Streaming twin of the Misra-Gries heavy-hitter candidate pass
+    * ([[graft.extract.MisraGriesAggregate]]): live frequent-token summaries
+    * over the turn-text stream. Tokens hash-partition into `groups` rows
+    * and each group keeps ONE bounded (≤ k entries) MG summary as streaming
+    * aggregation state — total state is groups·k counters regardless of
+    * stream length or token-domain size, the same posture as the HLL
+    * register stream above. Because the grouping is a hash PARTITION of
+    * the domain (every occurrence of a token lands in the same group), the
+    * per-group MG bound applies to the token's full stream count: any token
+    * with count > n_g/(k+1) of its group's token mass survives that group's
+    * summary, so the union of group summaries is a candidate superset for
+    * any phi ≥ 1/(k+1) of the per-group mass — exact counts then come from
+    * one batch verify pass, exactly as in [[graft.data.HeavyHitters]].
+    * Output per group: (grp, summary map<string,long>, n). */
+  def mgSummariesStream(transcripts: DataFrame, k: Int = 64, groups: Int = 8): DataFrame =
+    transcripts
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(groups)).as("grp"), col("tok"))
+      .groupBy("grp")
+      .agg(
+        graft.extract.MisraGriesAggregate.mgSketch(col("tok"), k).as("summary"),
+        count(lit(1)).as("n"))
+
   /** STATEFUL incremental MENTIONS_CONCEPT emission — the streaming twin of
     * the batch path's distinct-by-construction dedup and the Cypher MERGE
     * contract: per-conversation state (KeyValueGroupedDataset

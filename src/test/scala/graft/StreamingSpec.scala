@@ -142,6 +142,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming MG summaries: bounded state, superset + undercount bound after each batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val k = 8
+    val groups = 4
+    val summaries = graft.streaming.StreamingIngest.mgSummariesStream(transcripts, k, groups)
+    val query = summaries.writeStream
+      .format("memory")
+      .queryName("mg_stream")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      // skewed token stream: token_i frequency ~ 1/(i+1), far more than
+      // groups*k distinct tokens so the summaries genuinely compact
+      def texts(round: Int): Seq[String] =
+        (0 until 50).map(i => (0 until 200).filter(j => j % (i + 1) == round % (i + 1)).map(j => s"tok_$j").mkString(" "))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (round <- 0 until 2) {
+        val t = texts(round)
+        input.addData(t.zipWithIndex.map { case (x, i) => ("c", round * 100 + i, "user", x, None: Option[String], ts(i)) }: _*)
+        query.processAllAvailable()
+        seen ++= t
+        val truth = seen.flatMap(_.split(" ")).filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val grpMap = {
+          import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+          truth.keys.toSeq.toDF("tok")
+            .select($"tok", pmod(xxhash64($"tok"), lit(groups)).as("g"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        def grp(tok: String): Long = grpMap(tok)
+        val rows = spark.table("mg_stream").collect()
+        assert(rows.length <= groups)
+        rows.foreach { r =>
+          val g = r.getLong(0)
+          val summary = r.getMap[String, Long](1)
+          val nG = r.getLong(2)
+          assert(summary.size <= k)
+          // per-group totals add up to the group's true token mass
+          val truthG = truth.filter { case (tok, _) => grp(tok) == g }
+          assert(nG == truthG.values.sum)
+          // superset: every token above n_g/(k+1) of ITS group's mass survives
+          val mustSurvive = truthG.filter(_._2 > nG / (k + 1)).keySet
+          assert((mustSurvive -- summary.keySet).isEmpty, s"group $g missing ${mustSurvive -- summary.keySet}")
+          // undercount bound holds across micro-batch merges
+          summary.foreach { case (tok, est) =>
+            assert(est <= truthG(tok) && est >= truthG(tok) - nG / (k + 1), s"group $g token $tok")
+          }
+        }
+      }
+    } finally query.stop()
+  }
+
   test("stateful incremental edges: at-least-once replays emit no duplicates (streaming MERGE)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
