@@ -234,7 +234,7 @@ object Similarity {
     * over the candidate set — a map-side-combining partial aggregate, so the
     * shuffle is one row per vector per partition regardless of wCoarse.
     * Output matches the literal path: (vec_id, cell, v) (+negd). */
-  private def assignBroadcast(
+  private[graft] def assignBroadcast(
       vdf: DataFrame,
       cents: Seq[(Int, Seq[Double])],
       wCoarse: Int = 4

@@ -164,6 +164,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() == n)
   }
 
+  test("broadcast-regime assignment == literal argmin bit-for-bit when every coarse cell is probed") {
+    // with wCoarse = nCoarse the candidate set is the FULL fine codebook, so
+    // the two-level plan must reproduce the literal path's argmin exactly
+    // (same scores, same lowest-cell tie rule) — the approximation enters
+    // ONLY through coarse-cell pruning, nothing else
+    val cb = Similarity.ivfCentroids(emb, 200) // > LiteralCellCap = broadcast regime
+    val vdf = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val literal = vdf
+      .select($"vec_id", element_at(Similarity.nearest($"v", cb, 1), 1).getField("cell").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twoLevel = Similarity.assignBroadcast(vdf, cb, wCoarse = 200)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(twoLevel == literal)
+  }
+
   test("IVF ANN recall vs brute-force top-10 >= 0.7") {
     val exact = Similarity
       .bruteForceTopK(emb, nQueries = 20, k = 10)
