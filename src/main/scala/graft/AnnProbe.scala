@@ -60,7 +60,9 @@ object AnnProbe {
     val (cb, tB) = time(cands.count())
     println(f"[probe] B candidates: $cb rows in $tB%.1fs")
 
-    // step C: candidates WITHOUT v through the min(struct) aggregate
+    // step C: narrow aggregate — candidates WITHOUT v through min(struct)
+    // (this is the shipped production formulation: aggregate skinny, then
+    // re-join v by vec_id)
     val (cc, tC) = time {
       cands
         .select(col("vec_id"), col("negd"), col("cell"))
@@ -68,16 +70,17 @@ object AnnProbe {
         .agg(min(struct(col("negd"), col("cell"))).as("m"))
         .count()
     }
-    println(f"[probe] C agg no-v (sort-agg, skinny): $cc rows in $tC%.1fs")
+    println(f"[probe] C agg no-v (production: skinny agg + re-join): $cc rows in $tC%.1fs")
 
-    // step D: the current production aggregate (carries v + first(v))
+    // step D: the RETIRED formulation (carries v through the aggregate via
+    // first(v)) — kept as a diagnostic to show what the narrow-agg rewrite buys
     val (cd, tD) = time {
       cands
         .groupBy("vec_id")
         .agg(min(struct(col("negd"), col("cell"))).as("m"), first(col("v")).as("v"))
         .count()
     }
-    println(f"[probe] D agg with v (production): $cd rows in $tD%.1fs")
+    println(f"[probe] D agg with v (retired first(v) formulation): $cd rows in $tD%.1fs")
 
     spark.stop()
   }

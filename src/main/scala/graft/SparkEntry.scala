@@ -47,9 +47,15 @@ object SparkEntry {
     * fingerprint and so invalidates the cached artifact naturally, instead
     * of silently serving stale results (current drivers are
     * one-dir-per-JVM, but the invariant shouldn't rest on that). */
-  private def fingerprint(dir: String, table: String): String = {
+  private[graft] def fingerprint(dir: String, table: String): String = {
     val d = new java.io.File(s"$dir/$table.parquet")
-    val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    // The dataset may be a single parquet FILE (the testdata layout) or a
+    // directory of part files; listFiles() returns null for a plain file,
+    // which would collapse the fingerprint to a constant and disable the
+    // supersession eviction below. Fingerprint the file itself in that case.
+    val files =
+      if (d.isFile) Array(d)
+      else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
     val h = files
       .sortBy(_.getName)
       .foldLeft(17L)((acc, f) => ((acc * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified())

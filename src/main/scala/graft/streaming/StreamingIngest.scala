@@ -103,7 +103,12 @@ object StreamingIngest {
     * Output per group: (grp, summary map<string,long>, n). */
   def mgSummariesStream(transcripts: DataFrame, k: Int = 64, groups: Int = 8): DataFrame =
     transcripts
-      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      // Irregular whitespace (leading/double spaces) yields "" elements from
+      // split; counting them would both surface "" as a candidate and inflate
+      // each group's mass n (raising the n_g/(k+1) survival threshold for
+      // real tokens), so drop them before they enter a summary.
+      .filter(col("tok") =!= "")
       .select(pmod(xxhash64(col("tok")), lit(groups)).as("grp"), col("tok"))
       .groupBy("grp")
       .agg(

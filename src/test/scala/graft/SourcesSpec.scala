@@ -56,4 +56,35 @@ class SourcesSpec extends AnyFunSuite {
       .select(identifier8(col("a"), col("b")).as("id")).collect()(0).getString(0)
     assert(withNull == graft.core.Identifier8.ofString("xNone"))
   }
+
+  test("session-cache fingerprint tracks rewrites of single-FILE parquet datasets") {
+    // the testdata layout backs each table with one parquet file, not a
+    // directory — listFiles() returns null there, and a constant fingerprint
+    // would disable supersession eviction and serve stale cached artifacts
+    val dir = java.nio.file.Files.createTempDirectory("fp").toFile
+    try {
+      val f = new java.io.File(dir, "documents.parquet")
+      java.nio.file.Files.write(f.toPath, "v1".getBytes)
+      f.setLastModified(1000000L)
+      val fp1 = SparkEntry.fingerprint(dir.getPath, "documents")
+      assert(fp1 != "documents:17", "single-file dataset must not collapse to the empty fingerprint")
+      // in-place rewrite: same name, new length/mtime -> new fingerprint
+      java.nio.file.Files.write(f.toPath, "v2-longer".getBytes)
+      f.setLastModified(2000000L)
+      val fp2 = SparkEntry.fingerprint(dir.getPath, "documents")
+      assert(fp2 != fp1)
+      // directory-of-parts layout still fingerprints its contents
+      val sub = new java.io.File(dir, "orders.parquet")
+      assert(sub.mkdir())
+      java.nio.file.Files.write(new java.io.File(sub, "part-0").toPath, "p".getBytes)
+      val fp3 = SparkEntry.fingerprint(dir.getPath, "orders")
+      java.nio.file.Files.write(new java.io.File(sub, "part-1").toPath, "q".getBytes)
+      assert(SparkEntry.fingerprint(dir.getPath, "orders") != fp3)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -158,8 +158,10 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // skewed token stream: token_i frequency ~ 1/(i+1), far more than
       // groups*k distinct tokens so the summaries genuinely compact
+      // irregular whitespace (leading / double / trailing spaces) must NOT
+      // produce "" candidates or inflate any group's mass n
       def texts(round: Int): Seq[String] =
-        (0 until 50).map(i => (0 until 200).filter(j => j % (i + 1) == round % (i + 1)).map(j => s"tok_$j").mkString(" "))
+        (0 until 50).map(i => " " + (0 until 200).filter(j => j % (i + 1) == round % (i + 1)).map(j => s"tok_$j").mkString("  ") + " ")
       val seen = scala.collection.mutable.ArrayBuffer.empty[String]
       for (round <- 0 until 2) {
         val t = texts(round)
