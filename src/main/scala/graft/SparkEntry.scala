@@ -509,6 +509,41 @@ object SparkEntry {
         graft.data.Sketches.hllRegisters(d.where(col("doc_id") % 10 =!= 9), m = 256),
         graft.data.Sketches.hllRegisters(d.where(col("doc_id") % 10 === 9), m = 256))
     }),
+    // Count-Min counter table (d=4 hash rows × w=512 buckets): exact integer
+    // counts on the portable per-row hash — the frequency-estimation sketch
+    // that pairs with the Misra-Gries heavy-hitter candidates
+    "sketch_cms" -> ((s, dir) => graft.data.Sketches.cmsCounters(docs(s, dir), w = 512, d = 4)),
+    // incremental twin: sketch the 90% "old corpus" and the 10% batch
+    // separately, merge counters (union + per-cell SUM); oracle = the
+    // from-scratch full-corpus sketch — equality IS the merge law
+    "sketch_cms_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.data.Sketches.mergeCms(
+        graft.data.Sketches.cmsCounters(d.where(col("doc_id") % 10 =!= 9), w = 512, d = 4),
+        graft.data.Sketches.cmsCounters(d.where(col("doc_id") % 10 === 9), w = 512, d = 4))
+    }),
+    // KMV bottom-k sketch over the distinct token set, PRE-FILTERED map-side
+    // by a threshold derived from the corpus's own HLL registers (sketch
+    // composing with sketch — the 100 TB shuffle-thinning path); the oracle
+    // is the UNFILTERED formulation, so equality proves the filter
+    // result-invariant on this corpus
+    "sketch_kmv" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val regs = graft.data.Sketches.hllRegisters(d, m = 256)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      graft.data.Sketches.kmvBottomK(
+        d, k = 256, distinctEstimate = Some(graft.data.Sketches.hllEstimate(regs, 256)))
+    }),
+    // incremental twin: bottom-k of the two part-sketches' union must equal
+    // the from-scratch full-corpus bottom-k (each part's k smallest contain
+    // every hash eligible for the union's k smallest)
+    "sketch_kmv_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.data.Sketches.mergeKmv(
+        graft.data.Sketches.kmvBottomK(d.where(col("doc_id") % 10 =!= 9), k = 256),
+        graft.data.Sketches.kmvBottomK(d.where(col("doc_id") % 10 === 9), k = 256),
+        k = 256)
+    }),
     // C4-style corpus cleaning over planted line structure: the flat token
     // corpus is re-sentenced (8-token lines with terminal '.'), then noisy
     // lines are planted — corpus-wide boilerplate dup (%4), a too-short
@@ -1505,6 +1540,36 @@ object SparkEntry {
         |r AS (SELECT h % 256 AS bucket,
         |             bit_count(((h // 256) & -(h // 256)) - 1) + 1 AS rho FROM h)
         |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho_max FROM r GROUP BY 1""".stripMargin,
+    // Count-Min counters: same portable hash salted with the hash-row index,
+    // exact integer cell counts
+    "sketch_cms" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hr(hrow) AS (SELECT * FROM (VALUES (0), (1), (2), (3))),
+        |b AS (SELECT CAST(hr.hrow AS BIGINT) AS hrow,
+        |             CAST('0x' || substr(md5(CAST(hr.hrow AS VARCHAR) || ':' || t.tok), 1, 15) AS BIGINT) % 512 AS bucket
+        |      FROM toks t CROSS JOIN hr)
+        |SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2""".stripMargin,
+    // the incremental per-cell-SUM merge must equal the from-scratch sketch
+    "sketch_cms_incr" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hr(hrow) AS (SELECT * FROM (VALUES (0), (1), (2), (3))),
+        |b AS (SELECT CAST(hr.hrow AS BIGINT) AS hrow,
+        |             CAST('0x' || substr(md5(CAST(hr.hrow AS VARCHAR) || ':' || t.tok), 1, 15) AS BIGINT) % 512 AS bucket
+        |      FROM toks t CROSS JOIN hr)
+        |SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2""".stripMargin,
+    // KMV bottom-k: UNFILTERED formulation — the engine's HLL-derived
+    // map-side pre-filter must be result-invariant, so parity here proves it
+    "sketch_kmv" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |d AS (SELECT h, MIN(tok) AS tok FROM h GROUP BY 1)
+        |SELECT h, tok FROM d ORDER BY h LIMIT 256""".stripMargin,
+    // the part-sketch union + bottom-k must equal the from-scratch bottom-k
+    "sketch_kmv_incr" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |d AS (SELECT h, MIN(tok) AS tok FROM h GROUP BY 1)
+        |SELECT h, tok FROM d ORDER BY h LIMIT 256""".stripMargin,
     // full C4-clean replication: same planting, same keeper election
     // ((min doc_id, line_idx) per distinct line == row_number = 1)
     "text_c4_clean" ->

@@ -68,4 +68,105 @@ object Sketches {
     val zeros = m - regMap.count(_._2 > 0L)
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus token
+    * stream — "roughly how often does token x occur in this 100 TB corpus",
+    * answered from a fixed d×w counter table. Pairs with the Misra-Gries
+    * summaries ([[graft.data.TextAnalysis]] / streaming twin): MG names the
+    * heavy-hitter CANDIDATES, CMS estimates any token's FREQUENCY — together
+    * they are the classic heavy-hitter pipeline.
+    *
+    *   hrow j ∈ [0,d):  h_j(tok) = first 15 hex chars of md5("j:" ++ tok), base-16
+    *   bucket          = h_j(tok) mod w
+    *   counter(j,b)    = COUNT of tokens hashing there   (exact integer SUM)
+    *
+    * Point estimate = min_j counter(j, h_j(x)) ([[cmsEstimate]], driver-side
+    * over the ≤ d·w rows). Guarantees: never underestimates; overestimate
+    * ≤ (e/w)·N with prob ≥ 1 − e^−d. Every distributed step is exact integer
+    * arithmetic on the portable hash, so the DuckDB oracle reproduces the
+    * counter table row-for-row, and two corpora's sketches merge by
+    * per-cell ADDITION ([[mergeCms]]) — the incremental-ingest contract.
+    *
+    * Scale posture: one map-only d-way fan-out per token, then a
+    * groupBy(hrow,bucket) SUM that partial-aggregates to ≤ d·w rows per
+    * input partition — the whole corpus reduces to d·w longs; no token
+    * ever shuffles beyond its counter cells. */
+  def cmsCounters(docs: DataFrame, w: Int = 512, d: Int = 4): DataFrame = {
+    require(w > 0 && d > 0, s"CMS needs positive dimensions: w=$w d=$d")
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(posexplode(array((0 until d).map { j =>
+        conv(substring(md5(concat_ws(":", lit(j.toString), col("tok"))), 1, 15), 16, 10)
+          .cast("long") % w
+      }: _*)).as(Seq("hrow", "bucket")))
+      .groupBy("hrow", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("hrow").cast("long").as("hrow"), col("bucket"), col("n"))
+  }
+
+  /** CMS merge law — counters of a union = per-cell SUM of the parts'
+    * counters. Persist yesterday's ≤ d·w counter rows, sketch tonight's
+    * batch alone, merge in O(d·w); the verified row `sketch_cms_incr`
+    * asserts equality with the from-scratch full-corpus sketch. */
+  def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("hrow", "bucket").agg(sum(col("n")).as("n"))
+
+  /** CMS point query: min over the d rows of the cell the token hashes to.
+    * Driver-side fold over the collected counter table (≤ d·w rows). */
+  def cmsEstimate(counters: Seq[(Long, Long, Long)], w: Int, d: Int, token: String): Long = {
+    val cells = counters.map { case (r, b, n) => (r, b) -> n }.toMap
+    (0 until d).map { j =>
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"$j:$token".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      cells.getOrElse((j.toLong, java.lang.Long.parseLong(hex, 16) % w), 0L)
+    }.min
+  }
+
+  /** KMV (k minimum values) bottom-k sketch over the DISTINCT token set:
+    * the k smallest portable hash values, each carrying a representative
+    * token. One fixed-size artifact buys three things at 100 TB:
+    * a distinct-count estimator ([[kmvEstimate]], (k−1)·2^60 / h_k), a
+    * deterministic uniform SAMPLE of distinct tokens (the hash is the
+    * sampling coin — re-runs and the oracle pick the same k), and a
+    * mergeable state (union of two sketches → bottom-k, [[mergeKmv]]).
+    *
+    * Scale posture: the naive plan shuffles every distinct hash into the
+    * final top-k. `distinctEstimate` (e.g. [[hllEstimate]] over the same
+    * corpus — sketch composing with sketch) installs a MAP-SIDE pre-filter
+    * h < 2^60·(8k/est): survivors are ~8k rows corpus-wide, so the shuffle
+    * carries O(k) instead of O(distinct). The filter is result-invariant
+    * whenever ≥ k distinct survivors exist — with est within 4× of truth
+    * the survivor expectation is ≥ 2k, and the verified row (`sketch_kmv`
+    * vs the UNFILTERED oracle formulation) would catch any cut. The
+    * representative token per hash is MIN(tok) so collisions (2^−60-rare)
+    * stay deterministic. */
+  def kmvBottomK(docs: DataFrame, k: Int = 256, distinctEstimate: Option[Double] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val filtered = distinctEstimate match {
+      case Some(est) if est > 8.0 * k =>
+        toks.where(col("h") < (math.pow(2, 60) * 8.0 * k / est).toLong)
+      case _ => toks
+    }
+    filtered
+      .groupBy("h").agg(min(col("tok")).as("tok"))
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** KMV merge law: bottom-k of a union = bottom-k of the parts' sketches
+    * unioned — each part's k smallest distinct hashes contain every hash
+    * that can appear in the union's k smallest. */
+  def mergeKmv(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).groupBy("h").agg(min(col("tok")).as("tok")).orderBy(col("h")).limit(k)
+
+  /** KMV distinct-count estimate from a FULL sketch (exactly k rows whose
+    * max hash is h_k): (k−1)·2^60 / h_k. If the sketch holds < k rows the
+    * corpus had fewer than k distinct tokens and the count is exact. */
+  def kmvEstimate(hashes: Seq[Long], k: Int): Double =
+    if (hashes.size < k) hashes.size.toDouble
+    else (k - 1).toDouble * math.pow(2, 60) / hashes.max.toDouble
 }

@@ -798,6 +798,83 @@ class DataOpsSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("cms counters equal a single-threaded computation; estimates never underestimate") {
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, s"tok$i heavy tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val got = graft.data.Sketches
+      .cmsCounters(corpus, w = 128, d = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = (0 until 300).flatMap(i => Seq(s"tok$i", "heavy", s"tok${i % 5}"))
+    val want = (for { t <- toks; j <- 0 until 3 } yield
+      (j.toLong, java.lang.Long.parseLong(md5hex(s"$j:$t").take(15), 16) % 128))
+      .groupBy(identity).map { case (cell, hits) => (cell._1, cell._2, hits.size.toLong) }
+      .toSet
+    assert(got.toSet === want)
+
+    // mass conservation: every hash row accounts for every token exactly once
+    val n = toks.size.toLong
+    assert(got.groupBy(_._1).forall { case (_, cells) => cells.map(_._3).sum == n })
+
+    // the CMS one-sided guarantee: min-over-rows never underestimates
+    val est = (t: String) => graft.data.Sketches.cmsEstimate(got.toSeq, w = 128, d = 3, t)
+    val truth = toks.groupBy(identity).map { case (t, hits) => t -> hits.size.toLong }
+    assert(est("heavy") >= 300L)
+    assert(Seq("tok0", "tok3", "tok42", "tok299").forall(t => est(t) >= truth(t)))
+    // an absent token can only alias into occupied cells, never go negative
+    assert(est("never-seen-token") >= 0L)
+  }
+
+  test("cms merge law: counters of a union == sum-merge of the parts' counters") {
+    val a = (0 until 200).map(i => (i.toLong, s"a$i shared")).toDF("doc_id", "text")
+    val b = (0 until 100).map(i => (i.toLong, s"b$i a${i * 2} shared")).toDF("doc_id", "text")
+    def cms(df: org.apache.spark.sql.DataFrame) = graft.data.Sketches.cmsCounters(df, w = 64, d = 4)
+    val merged = graft.data.Sketches.mergeCms(cms(a), cms(b))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = cms(a.union(b)).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === full)
+  }
+
+  test("kmv bottom-k: pre-filter is result-invariant; estimate within rel. error; merge law") {
+    // ~6000 distinct tokens, k=256
+    val corpus = (0 until 3000).map(i => (i.toLong, s"u${i}a u${i}b common")).toDF("doc_id", "text")
+    val unfiltered = graft.data.Sketches.kmvBottomK(corpus, k = 256)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(unfiltered.size == 256)
+    assert(unfiltered.map(_._1) == unfiltered.map(_._1).sorted, "sketch must be hash-ascending")
+
+    // the HLL-estimate-driven map-side pre-filter must not change the result
+    val regs = graft.data.Sketches.hllRegisters(corpus, m = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val est = graft.data.Sketches.hllEstimate(regs, 256)
+    val filtered = graft.data.Sketches.kmvBottomK(corpus, k = 256, distinctEstimate = Some(est))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(filtered === unfiltered)
+
+    // KMV estimate: (k-1) * 2^60 / h_k within a loose 20% of true 6001
+    val kmvEst = graft.data.Sketches.kmvEstimate(unfiltered.map(_._1), 256)
+    assert(math.abs(kmvEst - 6001.0) / 6001.0 < 0.20, s"estimate $kmvEst vs true 6001")
+
+    // merge law: bottom-k of the part sketches' union == from-scratch bottom-k
+    val pa = graft.data.Sketches.kmvBottomK(corpus.where($"doc_id" % 2 === 0), k = 256)
+    val pb = graft.data.Sketches.kmvBottomK(corpus.where($"doc_id" % 2 === 1), k = 256)
+    val merged = graft.data.Sketches.mergeKmv(pa, pb, k = 256)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged === unfiltered)
+
+    // fewer distinct tokens than k: the sketch IS the distinct set, count exact
+    val tiny = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val tinySketch = graft.data.Sketches.kmvBottomK(tiny, k = 256)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tinySketch.map(_._2).toSet === Set("x", "y", "z"))
+    assert(graft.data.Sketches.kmvEstimate(tinySketch.map(_._1), 256) === 3.0)
+  }
+
   test("pii redaction: counts and placeholders on crafted rows") {
     val rows = Seq(
       (1L, "reach me at jo.doe@mail.example.org or call 555-0142 now"),
