@@ -87,6 +87,34 @@ object StreamingIngest {
       .groupBy("bucket")
       .agg(max(col("rho")).cast("long").as("rho_max"))
 
+  /** Streaming twin of [[graft.data.Sketches.cmsCounters]]: live token
+    * FREQUENCY sketch over the turn-text stream as a Count-Min counter
+    * table. Per-cell SUM is a plain streaming aggregation whose state is
+    * the ≤ d·w counter rows themselves — fixed-size regardless of stream
+    * length or domain size, the same posture as the HLL register stream.
+    * One honesty note vs the MAX-merged sketches: SUM is NOT
+    * replay-idempotent, so this twin leans on Structured Streaming's
+    * checkpointed exactly-once aggregation state rather than on algebraic
+    * absorption — an at-least-once upstream without dedup WOULD double
+    * count here, where the HLL/MG twins absorb replays for free. After any
+    * prefix of the stream the counter table equals the batch sketch of
+    * exactly the rows seen (StreamingSpec asserts), so the live sketch and
+    * nightly batch sketches merge interchangeably via
+    * [[graft.data.Sketches.mergeCms]]. */
+  def cmsCountersStream(transcripts: DataFrame, w: Int = 512, d: Int = 4): DataFrame =
+    transcripts
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "") // same irregular-whitespace guard as the MG twin
+      .select(posexplode(array((0 until d).map { j =>
+        conv(substring(md5(concat_ws(":", lit(j.toString), col("tok"))), 1, 15), 16, 10)
+          .cast("long") % w
+      }: _*)).as(Seq("hrow", "bucket")))
+      // long hrow, matching the batch artifact's schema exactly so the live
+      // and nightly sketches union cleanly into mergeCms
+      .select(col("hrow").cast("long").as("hrow"), col("bucket"))
+      .groupBy("hrow", "bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming twin of the Misra-Gries heavy-hitter candidate pass
     * ([[graft.extract.MisraGriesAggregate]]): live frequent-token summaries
     * over the turn-text stream. Tokens hash-partition into `groups` rows

@@ -142,6 +142,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming CMS counters: batch parity after each batch, point estimates one-sided") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val counters = graft.streaming.StreamingIngest.cmsCountersStream(transcripts, w = 64, d = 3)
+    val query = counters.writeStream
+      .format("memory")
+      .queryName("cms_stream")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      def batchCms(texts: Seq[String]) =
+        graft.data.Sketches
+          .cmsCounters(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"), w = 64, d = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      def streamCms() = spark
+        .table("cms_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+
+      val t1 = Seq("alpha beta gamma alpha", "beta gamma delta epsilon")
+      input.addData(t1.zipWithIndex.map { case (t, i) => ("c1", i, "user", t, None: Option[String], ts(i)) }: _*)
+      query.processAllAvailable()
+      assert(streamCms() === batchCms(t1), "prefix parity after batch 1")
+
+      // second micro-batch: the counter table must now equal the batch
+      // sketch of EVERYTHING seen — SUM state accumulates, it does not
+      // absorb duplicates the way the HLL/MG MAX states do (documented)
+      val t2 = Seq("alpha zeta eta theta", "alpha beta")
+      input.addData(t2.zipWithIndex.map { case (t, i) => ("c2", i, "user", t, None: Option[String], ts(10 + i)) }: _*)
+      query.processAllAvailable()
+      assert(streamCms() === batchCms(t1 ++ t2), "prefix parity after batch 2")
+
+      // the live counter table answers point queries with the batch
+      // guarantee: never below the true stream count
+      val est = (tok: String) =>
+        graft.data.Sketches.cmsEstimate(streamCms().toSeq, w = 64, d = 3, tok)
+      assert(est("alpha") >= 4L)
+      assert(est("beta") >= 3L)
+      assert(est("theta") >= 1L)
+    } finally query.stop()
+  }
+
   test("streaming MG summaries: bounded state, superset + undercount bound after each batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
