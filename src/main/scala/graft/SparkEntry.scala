@@ -456,6 +456,13 @@ object SparkEntry {
     // temperature-based source mixing (n^0.5 weights, largest-remainder
     // allocation, content-hash fill order)
     "data_mix" -> ((s, dir) => graft.data.Sampling.temperatureMix(docs(s, dir), budget = 200L)),
+    // deterministic train/val/test hash split (80/10/10): membership is a
+    // pure function of (salt, doc_id) — map-only, growth-stable (adding
+    // docs never reassigns an old one), bit-exact across engines
+    "data_split" -> ((s, dir) =>
+      graft.data.Sampling.hashSplit(
+        docs(s, dir).select("doc_id"), "doc_id",
+        Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)), salt = "s1")),
     // cross-corpus bigram novelty (integer-count LM-surprise stand-in):
     // doc_id%10==0 is the reference model corpus, the rest are scored;
     // doc_id%4==0 scored docs get a PLANTED unseen token so rare bigrams
@@ -1407,6 +1414,15 @@ object SparkEntry {
          |FROM planted""".stripMargin,
     // largest-remainder allocation over fixed-point sqrt weights, filled in
     // md5(doc_id) order — integer arithmetic end-to-end, so exact
+    // hash split: same salted portable hash, exact ppm band boundaries
+    "data_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 800000 THEN 'train'
+        |       WHEN h < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5('s1' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS h
+        |      FROM documents)""".stripMargin,
     "data_mix" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n,

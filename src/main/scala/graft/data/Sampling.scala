@@ -92,6 +92,33 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic train/val/test hash split. Membership is a pure function
+    * of (salt, key) — a portable md5 hash bucketed into ppm-weighted bands —
+    * NOT a seeded PRNG or `randomSplit`: growing the corpus never reassigns
+    * an existing row (randomSplit re-draws everything when the input
+    * changes — a silent eval-contamination source across ingest epochs),
+    * re-runs and other engines reproduce the assignment bit-exactly, and
+    * the whole operator is one map-only projection at any corpus size.
+    * `salt` makes independent splits of the same corpus possible (fold
+    * assignment, ablation re-splits). Weights are exact ppm longs summing
+    * to 1e6 — no float boundary can drift between engines. */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Long)],
+      salt: String = ""
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    require(splits.map(_._2).sum == 1000000L, s"split ppm weights must sum to 1e6: $splits")
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(keyCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.zip(cum).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), hi)) => when(h < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** G10 eval-set exclusion (operations/train.py:101-120): drop training
     * passages whose TEXT appears in the evaluation set — a broadcast-able
     * anti-join on text (the reference's set-membership filter). */

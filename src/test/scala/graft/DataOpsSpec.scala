@@ -875,6 +875,48 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.data.Sketches.kmvEstimate(tinySketch.map(_._1), 256) === 3.0)
   }
 
+  test("hash split: local parity, growth stability, proportions, salt independence") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def localSplit(salt: String, key: Long): String = {
+      val h = java.lang.Long.parseLong(md5hex(s"$salt:$key").take(15), 16) % 1000000L
+      if (h < 800000L) "train" else if (h < 900000L) "val" else "test"
+    }
+    val splits = Seq(("train", 800000L), ("val", 100000L), ("test", 100000L))
+
+    val a = (0 until 2000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val gotA = graft.data.Sampling.hashSplit(a, "doc_id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotA === (0 until 2000).map(i => i.toLong -> localSplit("s1", i.toLong)).toMap)
+
+    // growth stability: adding 3000 new docs must not reassign any of the
+    // original 2000 — the property randomSplit cannot give you
+    val grown = (0 until 5000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val gotGrown = graft.data.Sampling.hashSplit(grown, "doc_id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0 until 2000).forall(i => gotGrown(i.toLong) == gotA(i.toLong)))
+
+    // proportions: 80/10/10 within 2 points absolute at 20k keys
+    val big = (0 until 20000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val frac = graft.data.Sampling.hashSplit(big, "doc_id", splits, salt = "s1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 20000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+
+    // a different salt draws an independent split (must differ somewhere)
+    val gotB = graft.data.Sampling.hashSplit(a, "doc_id", splits, salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotB != gotA)
+
+    // degenerate: a single 100% band takes everything
+    val one = graft.data.Sampling.hashSplit(a, "doc_id", Seq(("all", 1000000L)))
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(one === Seq("all"))
+  }
+
   test("pii redaction: counts and placeholders on crafted rows") {
     val rows = Seq(
       (1L, "reach me at jo.doe@mail.example.org or call 555-0142 now"),
