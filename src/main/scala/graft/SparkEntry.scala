@@ -98,6 +98,18 @@ object SparkEntry {
     cachedArtifact(coCache, s, dir, "documents")(
       KgPipeline.cooccurrence(mentions(s, dir)).localCheckpoint())
 
+  /** The strong-edge backbone shared by every distance-based analytic
+    * (closeness/eccentricity/betweenness/components/k-core/link-predict):
+    * the raw conv-grain co-occurrence graph is near-complete, so distance is
+    * only meaningful on the >= 85%-of-max edges; the 1-row max broadcasts. */
+  private def strongBackbone(s: SparkSession, dir: String): DataFrame = {
+    val co = coEdges(s, dir)
+    val mx = co.agg(max(col("n_convs")).as("mx"))
+    co.join(broadcast(mx))
+      .where(col("n_convs") * 100 >= col("mx") * 85)
+      .select("concept_a", "concept_b")
+  }
+
   /** MinHash signature index over the full corpus — in production a
     * PERSISTED artifact of a corpus epoch (DedupBench measures exactly that
     * build + persist); every LSH consumer (pair query, clustering) probes
@@ -183,6 +195,77 @@ object SparkEntry {
     // 2^32 integer ranks — exact, order-free, oracle-reproducible)
     "kg_pagerank" -> ((s, dir) =>
       graft.kg.PageRank.run(coEdges(s, dir), iterations = 5)),
+    // HITS hubs/authorities over the DIRECTED conv -> concept mention
+    // bipartite (fixed-point scale 2^24, L-inf normalization): hub convs
+    // concentrate mentions on authoritative concepts and vice versa
+    "kg_hits" -> ((s, dir) =>
+      graft.kg.Hits.run(KgPipeline.mentionCounts(mentions(s, dir)), iterations = 4)),
+    // personalized PageRank: random walk with restart at the max-strength
+    // concept (data-derived deterministic seed, 1-row broadcast) — ranks
+    // measure proximity to the seed, the "related entities" query
+    "kg_ppr" -> ((s, dir) =>
+      graft.kg.PageRank.personalized(coEdges(s, dir), iterations = 5)),
+    // harmonic closeness centrality within 6 hops over the strong-edge
+    // backbone (the raw conv-grain co-occurrence graph is near-complete, so
+    // distance is only meaningful on the 85%-of-max backbone — same
+    // relative threshold as kg_kcore/kg_link_predict)
+    "kg_closeness" -> ((s, dir) =>
+      graft.kg.Centrality.harmonic(strongBackbone(s, dir), maxHops = 6)),
+    // hop-bounded eccentricity per node on the same backbone — the per-node
+    // diameter/radius primitive (the consumer's max/min over this relation)
+    "kg_eccentricity" -> ((s, dir) =>
+      graft.kg.Centrality.eccentricity(strongBackbone(s, dir), maxHops = 6)),
+    // exact Brandes betweenness (hop-bounded, fixed-point 10^6): which
+    // concepts BROKER the backbone — the bridge-detection analytic that
+    // degree/PageRank centralities miss
+    "kg_betweenness" -> ((s, dir) =>
+      graft.kg.Centrality.betweenness(strongBackbone(s, dir), maxHops = 4)),
+    // connected components of the backbone (large-star/small-star CC, the
+    // same engine that closes dedup clusters): component = min node id,
+    // summarized to (component, n_nodes); oracle = an independent
+    // recursive-CTE reachability closure
+    "kg_components" -> ((s, dir) => {
+      val cc = graft.kg.ConnectedComponents.run(
+        s,
+        strongBackbone(s, dir)
+          .select(col("concept_a").as("src"), col("concept_b").as("dst")))
+      cc.groupBy("component").agg(count(lit(1)).as("n_nodes"))
+    }),
+    // Newman modularity of the LPA assignment: per-community exact integer
+    // sufficient statistics + the quantized contribution q_ppm
+    "kg_modularity" -> ((s, dir) => {
+      val co = coEdges(s, dir)
+      graft.kg.Communities.modularity(
+        co,
+        graft.kg.Communities.labelPropagation(co, iterations = 4))
+    }),
+    // DeepWalk corpus: 2 deterministic hash-coin random walks of length 4
+    // per node — the skip-gram embedding feedstock derived from the KG
+    "kg_walks" -> ((s, dir) =>
+      graft.kg.Walks.deepWalks(coEdges(s, dir), nWalks = 2, len = 4)),
+    // contrastive negatives for KG-embedding training: one hash-coin
+    // corrupted tail per positive edge, accidental positives filtered
+    "kg_negatives" -> ((s, dir) => graft.kg.Walks.negativeSamples(coEdges(s, dir))),
+    // concept mention trends: span counts per (concept, UTC day) — the
+    // "trending entities" timeline over the corpus timestamps (epoch-day
+    // integers, tz-free, so the oracle hash-compares exactly)
+    "kg_trends" -> ((s, dir) => {
+      val turnsTs = KgPipeline
+        .eligibleTurns(Transcripts.read(s, dir))
+        .select(
+          col("conv_id"),
+          col("turn_idx").cast("int").as("turn_idx"),
+          expr("unix_timestamp(ts) div 86400").as("day_num"))
+      // the one fact⋈fact join here; both sides hash-partition on conv_id.
+      // At 100 TB the cheaper shape is carrying ts through extraction so the
+      // day lands in the mention row itself — kept as a join so the cached
+      // mention layer stays ts-agnostic for every other consumer.
+      mentions(s, dir)
+        .select("conv_id", "turn_idx", "concept_id")
+        .join(turnsTs, Seq("conv_id", "turn_idx"))
+        .groupBy("concept_id", "day_num")
+        .agg(count(lit(1)).as("n_mentions"))
+    }),
     // per-node triangle counts (local clustering): degree-ordered edge
     // orientation; oracle uses the naive a<b<c self-join formulation
     "kg_triangles" -> ((s, dir) =>
@@ -495,6 +578,12 @@ object SparkEntry {
     // exact fixed-point longs (k1=1.2, b=0.75 as rationals)
     "search_bm25" -> ((s, dir) =>
       graft.data.Search.searchBm25(docs(s, dir), Seq("merge", "window", "customer"), k = 10)),
+    // per-doc tf-idf keyword extraction: top-3 most characteristic terms,
+    // df-derived stopword cut (df*2 > N), all-integer scores
+    "text_tfidf" -> ((s, dir) => graft.data.Search.keywordExtract(docs(s, dir), k = 3)),
+    // bigram-LM fluency score (the CCNet quality device): mean corpus
+    // transition frequency of each doc's bigrams, exact fixed-point
+    "text_lm" -> ((s, dir) => graft.data.TextAnalysis.lmTransitionScore(docs(s, dir))),
     // exact quantile gate: keep the top 60% of docs by stopword-ppm quality
     // score; threshold = the k-th largest score via a histogram-grain
     // running sum (never a window over documents), ties inclusive
@@ -549,6 +638,24 @@ object SparkEntry {
       graft.data.Sketches.mergeKmv(
         graft.data.Sketches.kmvBottomK(d.where(col("doc_id") % 10 =!= 9), k = 256),
         graft.data.Sketches.kmvBottomK(d.where(col("doc_id") % 10 === 9), k = 256),
+        k = 256)
+    }),
+    // bottom-k uniform ROW sample (the quantile sketch for unbounded value
+    // domains): the portable doc_id hash is the sampling coin, each sampled
+    // row carries its token count, quantiles are a driver-side fold over
+    // <= k rows; the exact table row count feeds the map-side pre-filter
+    // (result-invariant, proven by parity with the unfiltered oracle)
+    "sketch_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.data.Sketches.bottomKSample(d, k = 256, rowEstimate = Some(d.count().toDouble))
+    }),
+    // incremental twin: bottom-k of the two part-samples' union must equal
+    // the from-scratch full-corpus bottom-k (same merge law as KMV)
+    "sketch_sample_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.data.Sketches.mergeSamples(
+        graft.data.Sketches.bottomKSample(d.where(col("doc_id") % 10 =!= 9), k = 256),
+        graft.data.Sketches.bottomKSample(d.where(col("doc_id") % 10 === 9), k = 256),
         k = 256)
     }),
     // C4-style corpus cleaning over planted line structure: the flat token
@@ -1250,6 +1357,16 @@ object SparkEntry {
     "kg_cooccurrence" -> OracleGen.cooccurrenceSql,
     "kg_pmi" -> OracleGen.pmiSql,
     "kg_pagerank" -> OracleGen.pageRankSql(5),
+    "kg_hits" -> OracleGen.hitsSql(4),
+    "kg_ppr" -> OracleGen.pprSql(5),
+    "kg_closeness" -> OracleGen.harmonicSql(6),
+    "kg_eccentricity" -> OracleGen.eccentricitySql(6),
+    "kg_betweenness" -> OracleGen.betweennessSql(4),
+    "kg_components" -> OracleGen.componentsSql,
+    "kg_modularity" -> OracleGen.modularitySql(4),
+    "kg_walks" -> OracleGen.walksSql(2, 4),
+    "kg_negatives" -> OracleGen.negativesSql,
+    "kg_trends" -> OracleGen.trendsSql,
     "kg_triangles" -> OracleGen.trianglesSql,
     "kg_link_predict" -> OracleGen.linkPredictionSql(20),
     "kg_khop" -> OracleGen.kHopSql("Q15", 3),
@@ -1516,6 +1633,38 @@ object SparkEntry {
         |       (tf.tf * 1000 + (1200 * (250 + (750 * ((1000 * dl.dl * n_docs) // tot)) // 1000)) // 1000))) AS BIGINT) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df ON tf.t = df.t CROSS JOIN stats
         |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 10""".stripMargin,
+    // per-doc tf-idf keyword extraction: identical integer weight chain,
+    // df-stopword cut, (score desc, term asc) window top-3
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf * ((1000000 * (n.n_docs + 1)) // (df.df + 1)) AS BIGINT) AS score_q
+        |  FROM tf JOIN df USING (term) CROSS JOIN n WHERE df.df * 2 <= n.n_docs),
+        |ranked AS (
+        |  SELECT doc_id, term, score_q,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score_q FROM ranked WHERE rn <= 3""".stripMargin,
+    // bigram-LM fluency: identical transition-frequency fixed point —
+    // p_q = (c_big * 10^6) // c_pre per bigram, doc mean via floor division
+    "text_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, ts[j + 1] AS w1, ts[j + 2] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS j FROM toks WHERE len(ts) >= 2)),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big FROM bg GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_pre FROM bg GROUP BY 1),
+        |model AS (SELECT big.w1, big.w2, (c_big * 1000000) // c_pre AS p_q
+        |          FROM big JOIN pre ON big.w1 = pre.w1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(p_q) // COUNT(*) AS BIGINT) AS lm_q
+        |FROM bg JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+        |GROUP BY 1""".stripMargin,
     // exact quantile gate: same histogram running-sum threshold election
     "data_quality_gate" ->
       """WITH scored AS (
@@ -1586,6 +1735,19 @@ object SparkEntry {
         |h AS (SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
         |d AS (SELECT h, MIN(tok) AS tok FROM h GROUP BY 1)
         |SELECT h, tok FROM d ORDER BY h LIMIT 256""".stripMargin,
+    // bottom-k row sample: UNFILTERED formulation — parity proves the
+    // engine's row-count-derived map-side pre-filter result-invariant
+    "sketch_sample" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |                  doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |           FROM documents)
+        |SELECT h, doc_id, n_toks FROM h ORDER BY h LIMIT 256""".stripMargin,
+    // the part-sample union + bottom-k must equal the from-scratch bottom-k
+    "sketch_sample_incr" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |                  doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |           FROM documents)
+        |SELECT h, doc_id, n_toks FROM h ORDER BY h LIMIT 256""".stripMargin,
     // full C4-clean replication: same planting, same keeper election
     // ((min doc_id, line_idx) per distinct line == row_number = 1)
     "text_c4_clean" ->

@@ -100,4 +100,52 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** tf-idf keyword extraction: the top-k most characteristic terms PER
+    * DOCUMENT — the query-free inverse of [[searchTopK]] (there a query
+    * ranks documents; here each document ranks its own vocabulary). This is
+    * the per-doc topic-tag / weak-label generator of a curation pipeline
+    * (and the bag-of-words seed for clustering).
+    *
+    * Same all-integer weight as the retrieval family (ln is not
+    * cross-engine bit-stable; the linear idf preserves the df ordering
+    * exactly):
+    *
+    *   w(t)          = (10^6 * (N + 1)) div (df(t) + 1)
+    *   score_q(d, t) = tf(t, d) * w(t)
+    *
+    * Terms in more than half the corpus (df * 2 > N) are cut — the
+    * df-derived stopword rule, so no language-specific stoplist ships.
+    * Ties break by term ascending; every quantity is a long, so the DuckDB
+    * oracle hash-matches.
+    *
+    * Scale: tf is one map-side-combined aggregate over the token explode;
+    * df aggregates the (doc, term)-distinct tf table, and joins back by
+    * term (vocabulary-sized — broadcast-able for real vocabularies, and
+    * Zipf guarantees the df table is far smaller than the token stream).
+    * The top-k window partitions BY DOCUMENT — per-doc term sets are
+    * doc-length-bounded, so no global sort and no skew beyond the longest
+    * single document. */
+  def keywordExtract(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .where(col("df") * 2 <= col("n_docs"))
+      .selectExpr("doc_id", "term", "tf * ((1000000 * (n_docs + 1)) div (df + 1)) AS score_q")
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("term"))))
+      .where(col("rn") <= k)
+      .select("doc_id", "term", "score_q")
+  }
 }

@@ -169,4 +169,54 @@ object Sketches {
   def kmvEstimate(hashes: Seq[Long], k: Int): Double =
     if (hashes.size < k) hashes.size.toDouble
     else (k - 1).toDouble * math.pow(2, 60) / hashes.max.toDouble
+
+  /** Bottom-k uniform ROW sample — the quantile / order-statistics sketch
+    * for UNBOUNDED value domains. The exact nearest-rank percentiles in
+    * [[graft.data.Quantiles]] need a bounded score domain to stay a
+    * histogram aggregate; this sketch drops that requirement: the portable
+    * doc_id hash is the sampling coin, the k smallest hashes are a uniform
+    * without-replacement row sample (deterministic across re-runs AND
+    * engines — no RNG state), and each sampled row carries its value (here
+    * the doc's whitespace token count), so any quantile of the corpus
+    * distribution is estimated driver-side from ≤ k rows
+    * ([[sampleQuantile]]) with the classic bottom-k rank-error bound
+    * O(1/sqrt(k)). Mergeable by the same law as KMV: bottom-k of a union =
+    * bottom-k of the parts' sketches unioned ([[mergeSamples]]) — the
+    * incremental-ingest contract.
+    *
+    * Scale posture: identical to [[kmvBottomK]] — `rowEstimate` (exact row
+    * counts are usually free from table metadata; any 4×-accurate estimate
+    * works) installs a map-side hash pre-filter h < 2^60·(8k/est), so the
+    * top-k shuffle carries O(k) survivors instead of O(corpus) rows. The
+    * filter is result-invariant whenever ≥ k rows survive; the verified row
+    * (`sketch_sample`) compares against the UNFILTERED oracle formulation,
+    * so parity proves the cut lossless on this corpus. */
+  def bottomKSample(docs: DataFrame, k: Int = 256, rowEstimate: Option[Double] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val rows = docs.select(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long").as("h"),
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val filtered = rowEstimate match {
+      case Some(est) if est > 8.0 * k =>
+        rows.where(col("h") < (math.pow(2, 60) * 8.0 * k / est).toLong)
+      case _ => rows
+    }
+    filtered.orderBy(col("h")).limit(k)
+  }
+
+  /** Sample merge law: bottom-k of a union = bottom-k of the parts'
+    * sketches unioned (doc_ids are unique so hashes are distinct and the
+    * ORDER BY h cut is deterministic). */
+  def mergeSamples(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).orderBy(col("h")).limit(k)
+
+  /** Nearest-rank quantile from the collected sample values: the order
+    * statistic at rank ceil(q·n). Driver-side over ≤ k rows. */
+  def sampleQuantile(values: Seq[Long], q: Double): Long = {
+    require(values.nonEmpty, "empty sample")
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    val sorted = values.sorted
+    sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+  }
 }

@@ -98,6 +98,60 @@ object TextAnalysis {
         (col("n_rare").cast("double") / col("n_bigrams")).as("novelty"))
   }
 
+  /** Bigram-LM fluency scoring (the CCNet device, Wenzek et al. 2020:
+    * rank documents by language-model likelihood; here the LM is the
+    * corpus's own bigram transition table, so no external model rides in) —
+    * a doc's score is the mean transition frequency of its bigrams:
+    *
+    *   p_q(w1 w2) = (count(w1 w2) * 10^6) div count(w1 ·)
+    *   lm_q(doc)  = (sum of p_q over the doc's bigram OCCURRENCES)
+    *                div n_bigrams
+    *
+    * Gibberish/shuffled text scores low (its transitions are rare in the
+    * corpus), boilerplate scores high. All-integer end-to-end (no
+    * log-perplexity floats — ln isn't bit-identical across engines; counts
+    * are), so the oracle hash-compares exactly. Single-token docs carry no
+    * row (no transitions to score).
+    *
+    * Scale posture: the model is one (w1, w2) → count aggregation — a
+    * build-once-per-epoch artifact like the novelty reference model; the
+    * scoring join hash-partitions both sides on the bigram, and hot
+    * boilerplate bigrams are absorbed by the per-doc partial-agg sum before
+    * any wide row moves. The p_q numerator stays in-long up to ~9.2e12
+    * occurrences of ONE bigram; past it the guard raises loudly (ANSI-style)
+    * instead of wrapping silently into corrupt rankings. */
+  def lmTransitionScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("toks")) - 2),
+            i =>
+              struct(
+                element_at(col("toks"), i + 1).as("w1"),
+                element_at(col("toks"), i + 2).as("w2"))
+          )).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val pre = bg.groupBy("w1").agg(count(lit(1)).as("c_pre"))
+    val model = big
+      .join(pre, "w1")
+      .selectExpr(
+        "w1",
+        "w2",
+        """IF(c_big <= 9223372036854775807 DIV 1000000,
+          |   (c_big * 1000000) DIV c_pre,
+          |   CAST(raise_error(concat('lmTransitionScore numerator overflows long: c_big=',
+          |        CAST(c_big AS STRING))) AS BIGINT))""".stripMargin.replaceAll("\n", " ") + " AS p_q")
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_q")).as("sum_p"))
+      .selectExpr("doc_id", "n_bigrams", "sum_p div n_bigrams AS lm_q")
+  }
+
   /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): rank raw
     * docs by how target-like their hashed-bigram distribution is. Bigrams

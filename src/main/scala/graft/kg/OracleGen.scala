@@ -262,6 +262,372 @@ object OracleGen {
        |)
        |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node""".stripMargin
 
+  /** HITS oracle: the bipartite conv → concept mention-weight edges, then
+    * `iterations` unrolled hub/authority half-steps in exact fixed-point
+    * arithmetic (scale 2^24, L-inf normalization by the pre-divided
+    * denominator ceil(max/Scale)) — mirrors [[Hits.run]] bit-for-bit;
+    * DuckDB `//` matches Spark `div` on the all-positive scores. */
+  def hitsSql(iterations: Int): String = {
+    val sc = Hits.Scale
+    // every per-iteration CTE is MATERIALIZED: h_i references hr_i TWICE
+    // (the scalar-max denominator subquery plus the FROM), so without the
+    // hint DuckDB's inlining doubles the expansion per HALF-iteration —
+    // 2^(2·iterations) copies of the mention-extraction chain (the r4
+    // BIGSWEEP oracle-blowup class; observed live as a >14-minute hang at
+    // sf0.001 before this hint)
+    val iterCtes = (1 to iterations)
+      .map { i =>
+        s"""hr$i AS MATERIALIZED (
+           |  SELECT e.conv_id AS node, CAST(SUM(e.w * a.s) AS BIGINT) AS raw
+           |  FROM e JOIN a${i - 1} a ON a.node = e.concept_id GROUP BY 1),
+           |h$i AS MATERIALIZED (
+           |  SELECT node, CAST(raw // ((SELECT (MAX(raw) + ${sc - 1}) // $sc FROM hr$i)) AS BIGINT) AS s
+           |  FROM hr$i),
+           |ar$i AS MATERIALIZED (
+           |  SELECT e.concept_id AS node, CAST(SUM(e.w * h.s) AS BIGINT) AS raw
+           |  FROM e JOIN h$i h ON h.node = e.conv_id GROUP BY 1),
+           |a$i AS MATERIALIZED (
+           |  SELECT node, CAST(raw // ((SELECT (MAX(raw) + ${sc - 1}) // $sc FROM ar$i)) AS BIGINT) AS s
+           |  FROM ar$i)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |e AS MATERIALIZED (SELECT conv_id, concept_id, CAST(SUM(n_mentions) AS BIGINT) AS w
+       |      FROM per_turn WHERE n_mentions > 0 GROUP BY 1, 2),
+       |a0 AS MATERIALIZED (SELECT DISTINCT concept_id AS node, CAST($sc AS BIGINT) AS s FROM e),
+       |$iterCtes
+       |SELECT node, 'auth' AS kind, s AS score_q FROM a$iterations
+       |UNION ALL SELECT node, 'hub' AS kind, s AS score_q FROM h$iterations""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: the co-occurrence chain, a 1-row seed
+    * CTE (argmax incident weight, tie min id — same device as the engine's
+    * min(struct)), then `iterations` unrolled fixed-point steps where the
+    * teleport term lands ONLY on the seed. Mirrors
+    * [[PageRank.personalized]] bit-for-bit. */
+  def pprSql(iterations: Int): String = {
+    // the seed scalar subquery re-enters every iteration CTE, so the chain
+    // under it (sym/outw, i.e. the whole mention-extraction CTE) must be
+    // MATERIALIZED or DuckDB re-inlines the extraction once per iteration
+    val iterCtes = (1 to iterations)
+      .map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CAST(CASE WHEN n.node = (SELECT node FROM seed) THEN ${PageRank.Teleport} ELSE 0 END
+           |              + (85 * COALESCE(s.csum, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM((r.r * e.w) // o.wtot) AS csum
+           |    FROM sym e JOIN p${i - 1} r ON r.node = e.src JOIN outw o ON o.src = e.src
+           |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst, w FROM co UNION ALL SELECT cb, ca, w FROM co),
+       |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM sym GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |seed AS MATERIALIZED (SELECT src AS node FROM outw ORDER BY wtot DESC, src LIMIT 1),
+       |p0 AS (SELECT n.node,
+       |              CAST(CASE WHEN n.node = (SELECT node FROM seed) THEN ${PageRank.Scale} ELSE 0 END AS BIGINT) AS r
+       |       FROM nodes n),
+       |$iterCtes
+       |SELECT node AS concept_id, r AS rank_q FROM p$iterations""".stripMargin
+  }
+
+  /** Harmonic-centrality oracle: the strong-edge backbone (85%-of-max, the
+    * [[kCoreSql]] device), then `maxHops` unrolled multi-source BFS rounds
+    * — each round the union of the previous distance set with one-step
+    * relaxations, MIN per (source, node) — mirroring [[Centrality.harmonic]]
+    * exactly, then the same 10^6 floor-division harmonic sum. */
+  def harmonicSql(maxHops: Int): String = {
+    val rounds = (1 to maxHops)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s, v, MIN(hops) AS hops FROM (
+           |    SELECT s, v, hops FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT w.s, e.dst AS v, w.hops + 1 FROM d${i - 1} w JOIN sym e ON e.src = w.v
+           |  ) GROUP BY 1, 2)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |d0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS v, 0 AS hops FROM sym),
+       |$rounds
+       |SELECT s AS concept_id, CAST(SUM(${Centrality.Scale} // hops) AS BIGINT) AS harm_q
+       |FROM d$maxHops WHERE hops > 0 GROUP BY 1""".stripMargin
+  }
+
+  /** Eccentricity oracle: the [[harmonicSql]] BFS skeleton with a MAX-hops
+    * rollup per source instead of the harmonic sum — mirrors
+    * [[Centrality.eccentricity]] (the (s, s, 0) self row is included, so an
+    * edge-bearing node's max is always >= 1). */
+  def eccentricitySql(maxHops: Int): String = {
+    val rounds = (1 to maxHops)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s, v, MIN(hops) AS hops FROM (
+           |    SELECT s, v, hops FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT w.s, e.dst AS v, w.hops + 1 FROM d${i - 1} w JOIN sym e ON e.src = w.v
+           |  ) GROUP BY 1, 2)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |d0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS v, 0 AS hops FROM sym),
+       |$rounds
+       |SELECT s AS concept_id, CAST(MAX(hops) AS INT) AS ecc_hops
+       |FROM d$maxHops GROUP BY 1""".stripMargin
+  }
+
+  /** Connected-components oracle over the strong-edge backbone: an
+    * INDEPENDENT formulation — a recursive-CTE transitive reachability
+    * closure (UNION-deduped, so it terminates at the fixpoint regardless of
+    * diameter; no unroll-depth caveat) with component = MIN reachable node
+    * id, cross-checking the engine's large-star/small-star CC. */
+  def componentsSql: String =
+    s"""WITH RECURSIVE $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |reach(s, v) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT r.s, e.dst FROM reach r JOIN sym e ON e.src = r.v
+       |),
+       |comp AS (SELECT s AS node, MIN(v) AS component FROM reach GROUP BY 1)
+       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM comp GROUP BY 1""".stripMargin
+
+  /** Betweenness oracle (Brandes, hop-bounded): forward BFS LEVELS with
+    * shortest-path counts (per-level aggregate + NOT EXISTS against the
+    * cumulative seen set — a node enters exactly one level), then the
+    * backward pair-dependency recurrence with the SAME per-edge floor
+    * division — mirrors [[Centrality.betweenness]] bit-for-bit. Every CTE
+    * is MATERIALIZED ([[hitsSql]]'s inlining-blowup lesson: the seen chain
+    * references each level twice). */
+  def betweennessSql(maxHops: Int): String = {
+    val sc = Centrality.Scale
+    val fwd = (1 to maxHops)
+      .map { t =>
+        s"""l$t AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT p.s, e.dst AS v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+           |    FROM l${t - 1} p JOIN sym e ON e.src = p.v
+           |    GROUP BY 1, 2) q
+           |  WHERE NOT EXISTS (SELECT 1 FROM seen${t - 1} x WHERE x.s = q.s AND x.v = q.v)),
+           |seen$t AS MATERIALIZED (SELECT s, v FROM seen${t - 1} UNION ALL SELECT s, v FROM l$t)""".stripMargin
+      }
+      .mkString(",\n")
+    val bwd = ((maxHops - 1) to 1 by -1)
+      .map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT c.s, c.v, c.sigma, CAST(COALESCE(x.delta, 0) AS BIGINT) AS delta
+           |  FROM l$t c LEFT JOIN (
+           |    SELECT c2.s, c2.v, CAST(SUM((c2.sigma * ($sc + w.delta)) // w.sigma) AS BIGINT) AS delta
+           |    FROM l$t c2 JOIN sym e ON e.src = c2.v
+           |                JOIN d${t + 1} w ON w.s = c2.s AND w.v = e.dst
+           |    GROUP BY 1, 2) x ON x.s = c.s AND x.v = c.v)""".stripMargin
+      }
+      .mkString(",\n")
+    val accUnion = (1 to (maxHops - 1))
+      .map(t => s"SELECT v, delta FROM d$t WHERE delta > 0")
+      .mkString("\n    UNION ALL ")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |l0 AS MATERIALIZED (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma FROM nodes),
+       |seen0 AS MATERIALIZED (SELECT s, v FROM l0),
+       |$fwd,
+       |d$maxHops AS MATERIALIZED (SELECT s, v, sigma, CAST(0 AS BIGINT) AS delta FROM l$maxHops),
+       |$bwd
+       |SELECT n.node AS concept_id, CAST(COALESCE(b.bc, 0) AS BIGINT) AS bc_q
+       |FROM nodes n LEFT JOIN (
+       |  SELECT v, SUM(delta) AS bc FROM (
+       |    $accUnion) GROUP BY 1) b ON b.v = n.node""".stripMargin
+  }
+
+  /** Negative-sampling oracle: the co-occurrence chain, the id-sorted
+    * dictionary with ROW_NUMBER indexes, and the SAME md5 coin
+    * (md5("a|b") mod |dict|) — accidental positives filtered, mirroring
+    * [[Walks.negativeSamples]] bit-for-bit. */
+  def negativesSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT ca AS n FROM co UNION ALL SELECT cb FROM co)),
+       |dict AS MATERIALIZED (SELECT n AS node, ROW_NUMBER() OVER (ORDER BY n) - 1 AS rn FROM nodes),
+       |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |neg AS (SELECT ca, cb,
+       |               CAST('0x' || substr(md5(ca || '|' || cb), 1, 15) AS BIGINT) % cnt.n AS idx
+       |        FROM co CROSS JOIN cnt)
+       |SELECT neg.ca AS concept_a, neg.cb AS concept_b, d.node AS neg_tail
+       |FROM neg JOIN dict d ON d.rn = neg.idx
+       |WHERE d.node <> neg.ca AND d.node <> neg.cb""".stripMargin
+
+  /** Trends oracle: per-turn mention counts joined back to the turn's
+    * epoch-day (ts_epoch // 86400), summed per (concept, day). */
+  def trendsSql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |)
+       |SELECT p.concept_id, t.ts_epoch // 86400 AS day_num,
+       |       CAST(SUM(p.n_mentions) AS BIGINT) AS n_mentions
+       |FROM per_turn p JOIN turns t ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+       |WHERE p.n_mentions > 0
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Modularity oracle: the label-propagation CTE chain (same recurrence as
+    * [[communitiesSql]]) to derive the assignment, then the exact integer
+    * sufficient statistics and the SAME nested floor-division q_ppm as
+    * [[Communities.modularity]]. */
+  def modularitySql(iterations: Int): String = {
+    val iterCtes = (1 to iterations)
+      .map { i =>
+        s"""s$i AS (
+           |  SELECT e.dst, l.label, CAST(SUM(e.w) AS BIGINT) AS ws
+           |  FROM sym e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |m$i AS (SELECT dst, MAX(ws) AS mx FROM s$i GROUP BY 1),
+           |l$i AS (
+           |  SELECT s.dst AS node, MIN(s.label) AS label
+           |  FROM s$i s JOIN m$i m ON m.dst = s.dst AND s.ws = m.mx GROUP BY 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst, w FROM co UNION ALL SELECT cb, ca, w FROM co),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+       |$iterCtes,
+       |lab AS MATERIALIZED (SELECT node, label FROM l$iterations),
+       |ej AS MATERIALIZED (SELECT co.w, la.label AS cla, lb.label AS clb
+       |       FROM co JOIN lab la ON la.node = co.ca JOIN lab lb ON lb.node = co.cb),
+       |mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM ej),
+       |inter AS (SELECT cla AS community, CAST(SUM(w) AS BIGINT) AS internal_w FROM ej WHERE cla = clb GROUP BY 1),
+       |degree AS (SELECT community, CAST(SUM(w) AS BIGINT) AS deg_sum FROM (
+       |  SELECT cla AS community, w FROM ej UNION ALL SELECT clb, w FROM ej) GROUP BY 1),
+       |sizes AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+       |SELECT z.community, z.n_nodes,
+       |       COALESCE(i.internal_w, 0) AS internal_w,
+       |       COALESCE(d.deg_sum, 0) AS deg_sum,
+       |       CAST((1000000 * COALESCE(i.internal_w, 0)) // m.m
+       |            - (1000000 * ((COALESCE(d.deg_sum, 0) * COALESCE(d.deg_sum, 0)) // m.m)) // (4 * m.m)
+       |         AS BIGINT) AS q_ppm
+       |FROM sizes z LEFT JOIN degree d ON d.community = z.community
+       |             LEFT JOIN inter i ON i.community = z.community
+       |CROSS JOIN mm m""".stripMargin
+  }
+
+  /** DeepWalk oracle: the co-occurrence chain, every node × `nWalks` start
+    * rows, then `len` unrolled argmin steps over the SAME portable md5
+    * hash coin ("walk|step|candidate" → first 15 hex digits as a 60-bit
+    * integer) with the (hash, dst) tie order — mirrors [[Walks.deepWalks]]
+    * bit-for-bit. */
+  def walksSql(nWalks: Int, len: Int): String = {
+    val steps = (1 to len)
+      .map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT walk_id, dst AS node FROM (
+           |    SELECT f.walk_id, e.dst,
+           |           ROW_NUMBER() OVER (PARTITION BY f.walk_id
+           |             ORDER BY CAST('0x' || substr(md5(f.walk_id || '|' || '$t' || '|' || e.dst), 1, 15) AS BIGINT),
+           |                      e.dst) AS rn
+           |    FROM w${t - 1} f JOIN sym e ON e.src = f.node)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      .mkString(",\n")
+    val emits = (1 to len)
+      .map(t => s"UNION ALL SELECT walk_id, $t AS step, node FROM w$t")
+      .mkString("\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |w0 AS MATERIALIZED (SELECT n.node || '#' || CAST(j AS VARCHAR) AS walk_id, n.node
+       |       FROM nodes n CROSS JOIN (SELECT unnest(range($nWalks)) AS j)),
+       |$steps
+       |SELECT walk_id, 0 AS step, node FROM w0
+       |$emits""".stripMargin
+  }
+
   /** PageRank oracle: the co-occurrence CTE chain, then `iterations`
     * unrolled fixed-point iterations (scale 2^32, damping 85/100) in exact
     * integer arithmetic — DuckDB `//` floor-division matches Spark's `div`

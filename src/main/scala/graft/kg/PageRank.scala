@@ -95,4 +95,70 @@ object PageRank {
     nodes.unpersist(false)
     out
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport mass
+    * returns to ONE seed node instead of spreading uniformly, so ranks
+    * measure proximity to the seed — the "related entities" query over the
+    * KG (the reference's related-concepts view is a one-hop neighbour list,
+    * knowledge_graph/concept.py's related_concepts; PPR is its multi-hop
+    * walk generalization).
+    *
+    * Same fixed-point device as [[run]] (longs, scale 2^32, floor
+    * divisions identical in both engines):
+    *
+    *   r_0(v)     = [v = seed] * 2^32
+    *   r_{t+1}(v) = [v = seed] * T + (85 * sum_{(u,v)} floor(r_t(u) * w / W_u)) div 100
+    *
+    * with T = (15 * 2^32) div 100. The seed is DATA-DERIVED but
+    * deterministic and scale-free: argmax total incident weight, tie -> min
+    * id (one 1-row aggregate broadcast — the [[ShortestPaths]] device; no
+    * driver-side collect). Nodes the walk hasn't reached carry rank 0 —
+    * kept as rows so the output grain is the node set, same as [[run]].
+    *
+    * Scale posture identical to [[run]]: static cached columnar edges
+    * partitioned on src, per-iteration exchange is the rank vector only,
+    * map-side-combined sums absorb hub fan-in, one lazy DAG. The extra
+    * seed comparison is a broadcast of one row. */
+  def personalized(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val symRaw = edges
+      .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
+      .union(
+        edges.select(col("concept_b").as("src"), col("concept_a").as("dst"), col("n_convs").as("w")))
+    val outw = symRaw.groupBy("src").agg(sum(col("w")).as("wtot"))
+    val sym = symRaw
+      .join(outw, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("node")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+
+    // seed = argmax total incident weight, tie -> min id; 1-row broadcast
+    val seed = symRaw
+      .groupBy("src")
+      .agg(sum(col("w")).as("wtot"))
+      .agg(min(struct((lit(0L) - col("wtot")).as("nw"), col("src"))).as("m"))
+      .select(col("m.src").as("seed_node"))
+
+    var rank = nodes
+      .crossJoin(broadcast(seed))
+      .selectExpr("node", s"IF(node = seed_node, ${Scale}L, 0L) AS r")
+    for (i <- 1 to iterations) {
+      val contrib = sym
+        .join(rank.hint("SHUFFLE_HASH"), sym("src") === rank("node"))
+        .selectExpr("dst", "(r * w) div wtot AS c")
+        .groupBy("dst")
+        .agg(sum(col("c")).as("csum"))
+      rank = nodes
+        .join(contrib.hint("SHUFFLE_HASH"), nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(seed))
+        .selectExpr(
+          "node",
+          s"IF(node = seed_node, ${Teleport}L, 0L) + (85 * coalesce(csum, 0L)) div 100 AS r")
+      if (i % 8 == 0 && i < iterations) rank = rank.localCheckpoint()
+    }
+    val out = rank.select(col("node").as("concept_id"), col("r").as("rank_q")).localCheckpoint()
+    sym.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
 }

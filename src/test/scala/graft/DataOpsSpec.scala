@@ -676,6 +676,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
   }
 
+  test("keywordExtract: exact per-doc tf-idf top-k with df stopword cut") {
+    val corpus = Seq(
+      (1L, "the alpha alpha beta"),   // 'the' in 3/4 docs -> cut
+      (2L, "the beta gamma"),
+      (3L, "the gamma gamma delta"),
+      (4L, "epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = graft.data.Search
+      .keywordExtract(corpus, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (d, rows) => d -> rows.map(x => (x._2, x._3)).toSet }
+    // N=4: df(the)=3 -> 3*2 > 4 cut; df(alpha)=1, beta=2, gamma=2, delta=1,
+    // epsilon=1, zeta=1; w(df) = 1000000*5 div (df+1)
+    def w(df: Long) = 1000000L * 5 / (df + 1)
+    assert(got(1L) === Set(("alpha", 2 * w(1)), ("beta", 1 * w(2))))
+    // doc 2: beta and gamma tie at w(2) -> both kept (k=2), term-asc order
+    assert(got(2L) === Set(("beta", w(2)), ("gamma", w(2))))
+    // doc 3: gamma tf=2 beats delta's idf edge? 2*w(2)=3333332 vs w(1)=2500000
+    assert(got(3L) === Set(("gamma", 2 * w(2)), ("delta", w(1))))
+    assert(got(4L) === Set(("epsilon", w(1)), ("zeta", w(1))))
+  }
+
   test("bm25: exact fixed-point scores, tf saturation and length normalization") {
     val corpus = Seq(
       (1L, "merge merge merge merge"),           // tf=4, dl=4
@@ -875,6 +899,44 @@ class DataOpsSpec extends AnyFunSuite {
     assert(graft.data.Sketches.kmvEstimate(tinySketch.map(_._1), 256) === 3.0)
   }
 
+  test("bottom-k row sample: pre-filter invariant, merge law, quantile within rank error") {
+    // doc i has i+1 tokens -> value distribution 1..4000 uniform, so the
+    // true q-quantile is ~q*4000 and the sample estimate must land within
+    // the bottom-k rank-error envelope
+    val corpus = (0 until 4000)
+      .map(i => (i.toLong, (0 to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val unfiltered = graft.data.Sketches.bottomKSample(corpus, k = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(unfiltered.size == 256)
+    assert(unfiltered.map(_._1) == unfiltered.map(_._1).sorted, "sample must be hash-ascending")
+    unfiltered.foreach { case (_, id, n) => assert(n == id + 1, s"doc $id carries wrong value $n") }
+
+    // exact-row-count pre-filter must not change the result
+    val filtered = graft.data.Sketches.bottomKSample(corpus, k = 256, rowEstimate = Some(4000.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(filtered === unfiltered)
+
+    // merge law: bottom-k of the part samples' union == from-scratch bottom-k
+    val pa = graft.data.Sketches.bottomKSample(corpus.where($"doc_id" % 2 === 0), k = 256)
+    val pb = graft.data.Sketches.bottomKSample(corpus.where($"doc_id" % 2 === 1), k = 256)
+    val merged = graft.data.Sketches.mergeSamples(pa, pb, k = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === unfiltered)
+
+    // quantile estimates: rank error of a 256-sample is ~1/sqrt(256) = 6.25%
+    // of the range; allow 3 sigma
+    val values = unfiltered.map(_._3)
+    for (q <- Seq(0.25, 0.5, 0.75, 0.9)) {
+      val est = graft.data.Sketches.sampleQuantile(values, q)
+      assert(math.abs(est - q * 4000) <= 0.19 * 4000, s"q=$q estimate $est vs true ${q * 4000}")
+    }
+    // degenerate bounds
+    assert(graft.data.Sketches.sampleQuantile(Seq(7L), 0.5) == 7L)
+    assert(graft.data.Sketches.sampleQuantile(values, 0.0) == values.min)
+    assert(graft.data.Sketches.sampleQuantile(values, 1.0) == values.max)
+  }
+
   test("hash split: local parity, growth stability, proportions, salt independence") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -971,5 +1033,40 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.keySet === Set(1L, 2L))
     assert(got(1L) === ((4L, 2L, hex("good first line here.\nshared boilerplate line."))))
     assert(got(2L) === ((3L, 2L, hex("another good line stays.\nsecond good line right here."))))
+  }
+
+  test("bigram-LM score: exact transition fixed point; fluent text outranks shuffled") {
+    import spark.implicits._
+    val rows = Seq(
+      // "the cat" transition dominates the corpus...
+      (1L, "the cat sat on the cat"),
+      (2L, "the cat ran to the cat"),
+      (3L, "the cat saw the cat nap"),
+      // ...so the doc built from common transitions must outscore the
+      // shuffled one built from singletons
+      (4L, "cat the tac eht on nap")
+    ).toDF("doc_id", "text")
+    val got = graft.data.TextAnalysis
+      .lmTransitionScore(rows)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // single-threaded reference: same counts, same floor divisions
+    val toks = Seq(
+      1L -> "the cat sat on the cat",
+      2L -> "the cat ran to the cat",
+      3L -> "the cat saw the cat nap",
+      4L -> "cat the tac eht on nap").map { case (id, t) => id -> t.split(" ").toSeq }
+    val bigrams = toks.flatMap { case (id, ts) => ts.sliding(2).map(p => (id, p(0), p(1))).toSeq }
+    val cBig = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val cPre = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = bigrams
+      .groupBy(_._1)
+      .map { case (id, bs) =>
+        val ps = bs.map { case (_, w1, w2) => cBig((w1, w2)) * 1000000L / cPre(w1) }
+        id -> ((bs.size.toLong, ps.sum / bs.size))
+      }
+    assert(got === want)
+    assert(got(1L)._2 > got(4L)._2)
   }
 }

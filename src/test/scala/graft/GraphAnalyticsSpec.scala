@@ -335,11 +335,306 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got(("A", "C"))._2 > got(("A", "B"))._2)
   }
 
+  test("HITS equals the single-threaded fixed-point reference exactly") {
+    // bipartite conv -> concept mention weights: conv c1 surveys everything
+    // (hub), concept k1 is mentioned everywhere (authority), plus noise
+    val edges = Seq(
+      ("c1", "k1", 3L), ("c1", "k2", 2L), ("c1", "k3", 1L),
+      ("c2", "k1", 5L), ("c2", "k2", 1L),
+      ("c3", "k1", 1L),
+      ("c4", "k3", 2L), ("c4", "k4", 3L))
+
+    // independent single-threaded twin of the same recurrence
+    def reference(iterations: Int): (Map[String, Long], Map[String, Long]) = {
+      val sc = graft.kg.Hits.Scale
+      def norm(raw: Map[String, Long]): Map[String, Long] = {
+        val denom = (raw.values.max + sc - 1) / sc
+        raw.map { case (n, v) => n -> v / denom }
+      }
+      var auth: Map[String, Long] = edges.map(_._2).distinct.map(_ -> sc).toMap
+      var hub: Map[String, Long] = Map.empty
+      for (_ <- 1 to iterations) {
+        hub = norm(edges.groupBy(_._1).map { case (c, es) =>
+          c -> es.map { case (_, k, w) => w * auth(k) }.sum
+        })
+        auth = norm(edges.groupBy(_._2).map { case (k, es) =>
+          k -> es.map { case (c, _, w) => w * hub(c) }.sum
+        })
+      }
+      (hub, auth)
+    }
+
+    val df = edges.toDF("conv_id", "concept_id", "n_mentions")
+    val got = graft.kg.Hits.run(df, iterations = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val (refHub, refAuth) = reference(4)
+    assert(got.collect { case (n, "hub", s) => n -> s }.toMap === refHub)
+    assert(got.collect { case (n, "auth", s) => n -> s }.toMap === refAuth)
+
+    // structure sanity: k1's reflected self-weight (3^2 + 5^2 + 1^2 = 35)
+    // dominates the c4-k4 dyad's (3^2 = 9), so mutual reinforcement must
+    // rank k1 the top authority (at dyad weight 7 the 49 > 35 dyad wins —
+    // verified while designing this fixture; HITS is a principal
+    // eigenvector, not a degree count)
+    val auths = got.collect { case (n, "auth", s) => n -> s }.toMap
+    assert(auths("k1") == auths.values.max, s"k1 must be the top authority: $auths")
+  }
+
   test("ranks are insensitive to edge-list order (fixed-point sums are exact)") {
     val df1 = edges.toDF("concept_a", "concept_b", "n_convs")
     val df2 = edges.reverse.toDF("concept_a", "concept_b", "n_convs").repartition(7)
     val r1 = PageRank.run(df1, 3).collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val r2 = PageRank.run(df2, 3).collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(r1 === r2)
+  }
+
+  test("personalized PageRank equals the single-threaded reference; mass stays near the seed") {
+    // seed must be Q1: incident weight 10+5+1 = 16 is the max
+    def reference(iterations: Int): Map[String, Long] = {
+      val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      val outw = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+      val nodes = sym.map(_._1).distinct
+      val seed = nodes.minBy(n => (-outw(n), n))
+      assert(seed == "Q1")
+      var rank: Map[String, Long] = nodes.map(n => n -> (if (n == seed) PageRank.Scale else 0L)).toMap
+      for (_ <- 1 to iterations) {
+        val contrib = sym
+          .map { case (src, dst, w) => dst -> rank(src) * w / outw(src) }
+          .groupBy(_._1)
+          .map { case (n, cs) => n -> cs.map(_._2).sum }
+        rank = nodes.map { n =>
+          n -> ((if (n == seed) PageRank.Teleport else 0L) + 85L * contrib.getOrElse(n, 0L) / 100L)
+        }.toMap
+      }
+      rank
+    }
+    val got = PageRank
+      .personalized(edges.toDF("concept_a", "concept_b", "n_convs"), iterations = 5)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === reference(5))
+    // proximity semantics: the seed out-ranks everything, its strong
+    // neighbour Q2 out-ranks the weak one Q4, and the detached Q6-Q7
+    // component gets exactly zero mass
+    assert(got("Q1") == got.values.max)
+    assert(got("Q2") > got("Q4"))
+    assert(got("Q6") == 0L && got("Q7") == 0L)
+  }
+
+  test("harmonic centrality equals single-threaded BFS; centre of a path beats its ends") {
+    // path Q1-Q2-Q3-Q4-Q5 plus detached dyad Q8-Q9 (weights irrelevant)
+    val path = Seq(
+      ("Q1", "Q2", 1L), ("Q2", "Q3", 1L), ("Q3", "Q4", 1L), ("Q4", "Q5", 1L),
+      ("Q8", "Q9", 1L))
+    def reference(maxHops: Int): Map[String, Long] = {
+      val adj = path
+        .flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+        .groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2).toSet }
+      adj.keys.map { s =>
+        // BFS from s
+        var dist = Map(s -> 0)
+        var frontier = Set(s)
+        for (h <- 1 to maxHops) {
+          frontier = frontier.flatMap(adj).diff(dist.keySet)
+          dist ++= frontier.map(_ -> h)
+          ()
+        }
+        s -> dist.collect { case (v, d) if d > 0 => graft.kg.Centrality.Scale / d }.sum
+      }.toMap
+    }
+    val got = graft.kg.Centrality
+      .harmonic(path.toDF("concept_a", "concept_b", "n_convs"), maxHops = 6)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === reference(6))
+    // the path centre is closest to everything on the path; the detached
+    // dyad scores exactly one unit (its single 1-hop neighbour)
+    assert(got("Q3") > got("Q1") && got("Q3") > got("Q5"))
+    assert(got("Q8") == graft.kg.Centrality.Scale && got("Q9") == graft.kg.Centrality.Scale)
+  }
+
+  test("modularity statistics and q_ppm equal the single-threaded reference") {
+    // two clean clusters {A1,A2,A3} / {B1,B2} plus one cross edge
+    val es = Seq(
+      ("A1", "A2", 4L), ("A1", "A3", 3L), ("A2", "A3", 5L),
+      ("B1", "B2", 6L), ("A3", "B1", 1L))
+    val labels = Seq(
+      ("A1", "cA"), ("A2", "cA"), ("A3", "cA"), ("B1", "cB"), ("B2", "cB"))
+    def reference(): Map[String, (Long, Long, Long, Long)] = {
+      val lab = labels.toMap
+      val m = es.map(_._3).sum
+      lab.values.toSeq.distinct.map { c =>
+        val nNodes = lab.count(_._2 == c).toLong
+        val internal = es.collect { case (a, b, w) if lab(a) == c && lab(b) == c => w }.sum
+        val deg = es.collect {
+          case (a, b, w) => (if (lab(a) == c) w else 0L) + (if (lab(b) == c) w else 0L)
+        }.sum
+        val q = 1000000L * internal / m - 1000000L * (deg * deg / m) / (4L * m)
+        c -> ((nNodes, internal, deg, q))
+      }.toMap
+    }
+    val got = graft.kg.Communities
+      .modularity(
+        es.toDF("concept_a", "concept_b", "n_convs"),
+        labels.toDF("concept_id", "community"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === reference())
+    // a good partition scores positive contributions on both sides
+    assert(got("cA")._4 > 0L && got("cB")._4 > 0L)
+  }
+
+  test("deepWalks equals the single-threaded hash-coin reference; walks are valid paths") {
+    val es = Seq(
+      ("Q1", "Q2", 1L), ("Q2", "Q3", 1L), ("Q3", "Q4", 1L), ("Q1", "Q3", 1L))
+    val adj = es
+      .flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+      .groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).distinct }
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def reference(nWalks: Int, len: Int): Set[(String, Int, String)] = {
+      adj.keys.toSeq.flatMap { n =>
+        (0 until nWalks).flatMap { j =>
+          val id = s"$n#$j"
+          var cur = n
+          (id, 0, n) +: (1 to len).map { t =>
+            cur = adj(cur).minBy(v => (h(s"$id|$t|$v"), v))
+            (id, t, cur)
+          }
+        }
+      }.toSet
+    }
+    val got = graft.kg.Walks
+      .deepWalks(es.toDF("concept_a", "concept_b", "n_convs"), nWalks = 2, len = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(got === reference(2, 4))
+    // every consecutive step is an actual edge
+    val byWalk = got.groupBy(_._1)
+    byWalk.foreach { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(_._2).map(_._3)
+      ordered.sliding(2).foreach {
+        case Seq(u, v) => assert(adj(u).contains(v), s"$u -> $v is not an edge")
+        case _         =>
+      }
+    }
+    // every node contributes exactly nWalks complete walks (no sinks here)
+    assert(byWalk.size == adj.size * 2)
+    assert(byWalk.values.forall(_.size == 5))
+  }
+
+  test("eccentricity: exact hop radii on a path; the hop bound binds") {
+    val path = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "D", 1L)).toDF("concept_a", "concept_b", "n_convs")
+    val got = graft.kg.Centrality
+      .eccentricity(path, maxHops = 6)
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    assert(got === Map("A" -> 3, "B" -> 2, "C" -> 2, "D" -> 3))
+    // bounded at 1 hop, every node only sees its direct neighbours
+    val capped = graft.kg.Centrality
+      .eccentricity(path, maxHops = 1)
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    assert(capped.values.forall(_ == 1))
+  }
+
+  /** Single-threaded Brandes with the SAME hop bound and fixed-point
+    * per-edge floor division — independent formulation (mutable maps, depth
+    * recursion by level) of the recurrence the engine runs as joins. */
+  private def referenceBetweenness(edges: Seq[(String, String)], maxHops: Int): Map[String, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val nodes = sym.map(_._1).distinct
+    val bc = scala.collection.mutable.Map[String, Long](nodes.map(_ -> 0L): _*)
+    var levels = Vector(nodes.map(n => (n, n) -> 1L).toMap)
+    var seen: Set[(String, String)] = levels(0).keySet
+    for (_ <- 1 to maxHops) {
+      val next = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (((s, v), sig) <- levels.last; w <- adj.getOrElse(v, Nil))
+        if (!seen((s, w))) next((s, w)) = next.getOrElse((s, w), 0L) + sig
+      levels :+= next.toMap
+      seen ++= next.keySet
+    }
+    var deltaNext: Map[(String, String), Long] = levels(maxHops).map { case (k, _) => k -> 0L }
+    var sigmaNext = levels(maxHops)
+    for (t <- (maxHops - 1) to 1 by -1) {
+      val cur = levels(t)
+      val d = cur.map { case ((s, v), sig) =>
+        val terms = adj.getOrElse(v, Nil).flatMap { w =>
+          sigmaNext.get((s, w)).map(sigW => sig * (1000000L + deltaNext((s, w))) / sigW)
+        }
+        (s, v) -> terms.sum
+      }
+      d.foreach { case ((_, v), dl) => if (dl > 0) bc(v) += dl }
+      deltaNext = d
+      sigmaNext = cur
+    }
+    nodes.map(n => n -> bc(n)).toMap
+  }
+
+  private def runBetweenness(es: Seq[(String, String)], maxHops: Int = 4): Map[String, Long] =
+    graft.kg.Centrality
+      .betweenness(es.map { case (a, b) => (a, b, 1L) }.toDF("concept_a", "concept_b", "n_convs"), maxHops)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  test("betweenness: the middle of a path brokers every pair; endpoints score 0") {
+    val got = runBetweenness(Seq(("A", "B"), ("B", "C")))
+    // pair (A,C) routes through B from BOTH endpoints (undirected convention)
+    assert(got === Map("A" -> 0L, "B" -> 2000000L, "C" -> 0L))
+  }
+
+  test("betweenness: a 4-cycle splits path counts exactly in half") {
+    // two shortest A->C paths (via B and D): each mid-node takes sigma/2
+    val got = runBetweenness(Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")))
+    assert(got.values.toSet === Set(1000000L))
+  }
+
+  test("betweenness: star centre brokers all leaf pairs; matches reference on a random graph") {
+    val star = runBetweenness(Seq(("X", "a"), ("X", "b"), ("X", "c")))
+    assert(star("X") === 6000000L) // 3 leaf pairs x 2 directions
+    assert(star("a") === 0L && star("b") === 0L && star("c") === 0L)
+    // pseudo-random graph: same deterministic construction as the LPA test
+    val es = (for (i <- 0 until 12; j <- (i + 1) until 12 if (i * 7 + j * 13) % 5 == 0)
+      yield (s"N$i", s"N$j")).toSeq
+    assert(runBetweenness(es) === referenceBetweenness(es, 4))
+    // the hop bound binds identically in both formulations
+    assert(runBetweenness(es, maxHops = 2) === referenceBetweenness(es, 2))
+  }
+
+  test("negative samples: hash-coin corrupt tails equal the single-threaded reference") {
+    val es = Seq(("Q1", "Q2", 3L), ("Q2", "Q3", 1L), ("Q1", "Q4", 2L), ("Q5", "Q6", 1L))
+    val got = graft.kg.Walks
+      .negativeSamples(es.toDF("concept_a", "concept_b", "n_convs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def h(s: String): Long = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = es
+      .map { case (a, b, _) => (a, b, nodes((h(s"$a|$b") % nodes.size).toInt)) }
+      .filter { case (a, b, t) => t != a && t != b }
+      .toSet
+    assert(got === want)
+    // every emitted tail is a real dictionary node and never an endpoint
+    assert(got.forall { case (a, b, t) => nodes.contains(t) && t != a && t != b })
   }
 }
