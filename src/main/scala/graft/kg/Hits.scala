@@ -70,18 +70,25 @@ object Hits {
     var auth = e.select(col("concept_id").as("node")).distinct().select(col("node"), lit(Scale).as("s"))
     var hub: DataFrame = null
     for (_ <- 1 to iterations) {
+      // each half-iteration's lineage is TRUNCATED (localCheckpoint of the
+      // node-sized score vector): `normalized` references its input twice
+      // (the max-denominator branch + the main branch), so a fully lazy
+      // loop doubles the plan tree per HALF-iteration — 2^(2·iters) join
+      // stages by the end (measured: 322 s for 4 iterations on a 16k-edge
+      // sf0.1 graph, vs ~2 s truncated; the Spark-side twin of the DuckDB
+      // AS MATERIALIZED defense every unrolled oracle here carries)
       hub = normalized(
         e.join(auth.hint("SHUFFLE_HASH"), e("concept_id") === auth("node"))
           .selectExpr("conv_id", "w * s AS t")
           .groupBy("conv_id")
           .agg(sum(col("t")).as("raw"))
-          .withColumnRenamed("conv_id", "node"))
+          .withColumnRenamed("conv_id", "node")).localCheckpoint()
       auth = normalized(
         e.join(hub.hint("SHUFFLE_HASH"), e("conv_id") === hub("node"))
           .selectExpr("concept_id", "w * s AS t")
           .groupBy("concept_id")
           .agg(sum(col("t")).as("raw"))
-          .withColumnRenamed("concept_id", "node"))
+          .withColumnRenamed("concept_id", "node")).localCheckpoint()
     }
     val out = auth
       .selectExpr("node", "'auth' AS kind", "s AS score_q")
