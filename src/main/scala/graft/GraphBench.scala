@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale bench for the round-5 graph-analytics family — the same
+  * evidence-class as PrBench's 32M-edge PageRank measurement: each leg runs
+  * one operator at a size where the DISTRIBUTED shape matters (millions of
+  * edges / hundreds of thousands of simultaneous BFS sources), asserts a
+  * structural truth about the result (so a silently-wrong plan can't post a
+  * fast number), and prints one JSON line.
+  *
+  * Legs and what each proves at scale:
+  *   - hits:       4 HITS iterations over a synthetic conv→concept bipartite
+  *                 with a planted dominant concept (every conversation
+  *                 mentions it). Truth: the planted concept tops the
+  *                 authority ranking and the L-inf normalization caps scores
+  *                 at Scale. Proves the score-vector-only exchange loop holds
+  *                 when the hub side has millions of rows.
+  *   - ppr:        5 personalized-PageRank iterations on the CcBench skew
+  *                 graph (one hub holds 50% of edges). Truth: the seed (=
+  *                 the hub, max incident weight) tops its own proximity
+  *                 ranking. Proves the PageRank loop skeleton under the
+  *                 extra broadcast-seed comparison.
+  *   - walks:      2 deterministic walks × len 8 per node over the block
+  *                 graph. Truth: symmetrized edges have no sinks, so the
+  *                 corpus is exactly nodes·nWalks·(len+1) rows. Proves the
+  *                 frontier-only step join at a multi-million-row frontier.
+  *   - harmonic:   multi-source BFS (maxHops 3) from EVERY node of a
+  *                 100k-node degree-8 random graph — 100k simultaneous
+  *                 traversals, a dist relation in the tens of millions.
+  *                 Truth: scores are positive and bounded by
+  *                 (n−1)·Scale (every term ≤ Scale).
+  *   - betweenness: exact hop-bounded Brandes (maxHops 4) on a 10k-node
+  *                 degree-6 graph + a planted bridge node joining two
+  *                 halves. Truth: the bridge tops the ranking.
+  *
+  * Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_GRAPH_SCALE (1.0 — multiplies
+  * every size knob; 0.1 for a smoke run).
+  */
+object GraphBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_GRAPH_SCALE", "1.0").toDouble
+    val spark = Bench.session(cpus)
+    import spark.implicits._
+
+    def nid(c: org.apache.spark.sql.Column) = concat(lit("n"), c.cast("string"))
+
+    // ---- HITS: bipartite with a planted dominant concept -----------------
+    // 2M conversations; each mentions concept "k<conv mod 50k>" (weight 1+conv%3)
+    // and the planted "kstar" (weight 2) — kstar's incident mass dominates.
+    val nConvs = (2000000 * scale).toLong.max(1000L)
+    val nConcepts = (50000 * scale).toLong.max(100L)
+    val bip = spark
+      .range(nConvs)
+      .select(
+        concat(lit("c"), col("id").cast("string")).as("conv_id"),
+        concat(lit("k"), (col("id") % nConcepts).cast("string")).as("concept_id"),
+        (lit(1L) + col("id") % 3).as("n_mentions"))
+      .union(
+        spark
+          .range(nConvs)
+          .select(
+            concat(lit("c"), col("id").cast("string")).as("conv_id"),
+            lit("kstar").as("concept_id"),
+            lit(2L).as("n_mentions")))
+    val (hits, hitsSec) = Bench.time {
+      val r = graft.kg.Hits.run(bip, iterations = 4)
+      r.count(); r
+    }
+    val topAuth = hits.where(col("kind") === "auth").orderBy(col("score_q").desc).limit(1).collect()(0)
+    require(topAuth.getString(0) == "kstar", s"planted concept must top authorities: got ${topAuth.getString(0)}")
+    val maxScore = hits.agg(max(col("score_q"))).collect()(0).getLong(0)
+    require(maxScore <= graft.kg.Hits.Scale, s"L-inf cap violated: $maxScore")
+    val hitsEdges = nConvs * 2
+
+    // ---- PPR on the skew graph ------------------------------------------
+    val n = (8000000 * scale).toLong.max(10000L)
+    val skewPath = s"/tmp/graft_cc_bench_skew_$n"
+    if (!Bench.parquetComplete(skewPath)) {
+      val ids = spark.range(n)
+      val chain = ids
+        .where(col("id") % 100 =!= 99L)
+        .select(nid(col("id")).as("src"), nid(col("id") + 1).as("dst"))
+      val hub = ids.where(col("id") > 0).select(nid(col("id")).as("src"), lit("n0").as("dst"))
+      chain.union(hub).repartition(cpus * 4).write.mode("overwrite").parquet(skewPath)
+    }
+    val skewEdges = spark.read.parquet(skewPath)
+    val pprEdges = skewEdges.count()
+    val (ppr, pprSec) = Bench.time {
+      val r = graft.kg.PageRank.personalized(
+        skewEdges
+          .where(col("src") =!= col("dst"))
+          .select(col("src").as("concept_a"), col("dst").as("concept_b"), lit(1L).as("n_convs")),
+        iterations = 5)
+      r.count(); r
+    }
+    val topPpr = ppr.orderBy(col("rank_q").desc).limit(1).collect()(0)
+    require(topPpr.getString(0) == "n0", s"seed hub must top PPR: got ${topPpr.getString(0)}")
+
+    // ---- Walks on the block graph ---------------------------------------
+    val wn = (4000000 * scale).toLong.max(10000L)
+    val wPath = s"/tmp/graft_cc_bench_$wn"
+    if (!Bench.parquetComplete(wPath))
+      CcBench.synthesize(spark, wn).repartition(cpus * 4).write.mode("overwrite").parquet(wPath)
+    val wEdges = spark.read.parquet(wPath)
+    val wEdgeCount = wEdges.count()
+    val nWalks = 2
+    val wLen = 8
+    val (walks, walksSec) = Bench.time {
+      val r = graft.kg.Walks.deepWalks(
+        wEdges
+          .where(col("src") =!= col("dst"))
+          .select(col("src").as("concept_a"), col("dst").as("concept_b"), lit(1L).as("n_convs")),
+        nWalks = nWalks,
+        len = wLen)
+      r.count(); r
+    }
+    val wNodes = wEdges
+      .where(col("src") =!= col("dst"))
+      .select(explode(array(col("src"), col("dst"))))
+      .distinct()
+      .count()
+    val walkRows = walks.count()
+    require(
+      walkRows == wNodes * nWalks * (wLen + 1),
+      s"symmetrized graph has no sinks, every walk must run full length: $walkRows vs ${wNodes * nWalks * (wLen + 1)}")
+
+    // ---- Harmonic centrality: 100k simultaneous BFS sources --------------
+    // degree-8 pseudo-random graph: node i -> (i*29+j) mod hn for 4 js
+    val hn = (100000 * scale).toLong.max(1000L)
+    val rand = spark
+      .range(hn)
+      .select(col("id"), explode(array((1 to 4).map(j => (col("id") * 29 + j * 104729L) % hn): _*)).as("to"))
+      .where(col("id") =!= col("to"))
+      .select(
+        nid(least(col("id"), col("to"))).as("concept_a"),
+        nid(greatest(col("id"), col("to"))).as("concept_b"))
+      .distinct()
+      .withColumn("n_convs", lit(1L))
+    val (harm, harmSec) = Bench.time {
+      val r = graft.kg.Centrality.harmonic(rand, maxHops = 3)
+      r.count(); r
+    }
+    val harmStats = harm.agg(min(col("harm_q")), max(col("harm_q")), count(lit(1))).collect()(0)
+    require(harmStats.getLong(0) > 0, "every node reaches someone within 3 hops")
+    require(
+      harmStats.getLong(1) <= (hn - 1) * graft.kg.Centrality.Scale,
+      s"harmonic sum bound violated: ${harmStats.getLong(1)}")
+    val harmNodes = harmStats.getLong(2)
+
+    // ---- Betweenness on a star-of-stars ----------------------------------
+    // centre S — k satellites — t leaves per satellite. Shortest paths are
+    // UNIQUE (sigma = 1 everywhere) and at maxHops 3 the pairs through S
+    // (leaf→other-satellite ≈ k·t·(k−1), sat→sat ≈ k²/2) outnumber the
+    // pairs through any one satellite (≈ t·(t+2k)) by ~k·t/(t+2k) ≈ 200×
+    // at (400, 50) — so "S tops the ranking" is a provable truth, not a
+    // statistical hope. Betweenness is a DICTIONARY-scale op (the level
+    // relations are sources × reach); 20k nodes at full 3-hop reach drives
+    // level relations in the tens of millions of rows.
+    val sats = (400 * scale).toLong.max(20L)
+    val leaves = 50L
+    val satEdges = spark
+      .range(sats)
+      .select(lit("S").as("concept_a"), concat(lit("sat"), col("id").cast("string")).as("concept_b"))
+    val leafEdges = spark
+      .range(sats * leaves)
+      .select(
+        concat(lit("sat"), (col("id") % sats).cast("string")).as("concept_a"),
+        concat(lit("leaf"), col("id").cast("string")).as("concept_b"))
+    val star = satEdges.union(leafEdges).withColumn("n_convs", lit(1L))
+    val (bc, bcSec) = Bench.time {
+      val r = graft.kg.Centrality.betweenness(star, maxHops = 3)
+      r.count(); r
+    }
+    val topBc = bc.orderBy(col("bc_q").desc).limit(1).collect()(0)
+    require(topBc.getString(0) == "S", s"the centre must top betweenness: got ${topBc.getString(0)}")
+    val bcNodes = bc.count()
+
+    println(
+      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true}}""")
+    spark.stop()
+  }
+}

@@ -285,6 +285,11 @@ object SparkEntry {
         .select("concept_a", "concept_b")
       graft.kg.Triangles.linkPrediction(strong, k = 20)
     }),
+    // Resource-Allocation link prediction (Zhou et al. 2009): shared
+    // neighbours discounted by 1/deg — exact ppm integers, so the RA
+    // refinement stays oracle-checkable where Adamic-Adar's log can't be
+    "kg_link_predict_ra" -> ((s, dir) =>
+      graft.kg.Triangles.linkPredictionRA(strongBackbone(s, dir), k = 20)),
     // bounded-depth BFS (graph traversal): min-hop distance from concept
     // Q15 over the canonicalization edge universe, frontier-expansion loop
     "kg_khop" -> ((s, dir) => KgPipeline.kHopNeighborhood(s, seed = "Q15", maxHops = 3)),
@@ -1369,6 +1374,7 @@ object SparkEntry {
     "kg_trends" -> OracleGen.trendsSql,
     "kg_triangles" -> OracleGen.trianglesSql,
     "kg_link_predict" -> OracleGen.linkPredictionSql(20),
+    "kg_link_predict_ra" -> OracleGen.linkPredictionRaSql(20),
     "kg_khop" -> OracleGen.kHopSql("Q15", 3),
     "kg_communities" -> OracleGen.communitiesSql(4),
     "kg_clustering" -> OracleGen.clusteringSql,

@@ -249,6 +249,34 @@ object OracleGen {
        |SELECT a AS concept_a, b AS concept_b, CAST(n_common AS BIGINT) AS n_common
        |FROM ne ORDER BY n_common DESC, a, b LIMIT $k""".stripMargin
 
+  /** Resource-Allocation link-prediction oracle: the same backbone wedge
+    * join, scored Σ (10^6 // deg(z)) over shared neighbours z — mirrors
+    * [[Triangles.linkPredictionRA]]'s exact integer arithmetic. */
+  def linkPredictionRaSql(k: Int): String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT MAX(w) AS m FROM co0),
+       |co AS (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |und AS (SELECT ca AS u, cb AS v FROM co UNION ALL SELECT cb, ca FROM co),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+       |ra AS (
+       |  SELECT x.v AS a, y.v AS b, CAST(SUM(${Triangles.RaScale} // d.deg) AS BIGINT) AS ra_q
+       |  FROM und x JOIN und y ON x.u = y.u AND x.v < y.v JOIN deg d ON d.u = x.u
+       |  GROUP BY 1, 2),
+       |ne AS (
+       |  SELECT ra.a, ra.b, ra.ra_q FROM ra
+       |  LEFT JOIN co e ON e.ca = ra.a AND e.cb = ra.b WHERE e.ca IS NULL)
+       |SELECT a AS concept_a, b AS concept_b, ra_q
+       |FROM ne ORDER BY ra_q DESC, a, b LIMIT $k""".stripMargin
+
   /** k-hop oracle: independent recursive-CTE walk (bounded by hops, so it
     * terminates despite cycles) with a min-hop rollup — cross-checks the
     * engine's frontier-expansion BFS. */

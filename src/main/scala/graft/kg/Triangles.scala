@@ -155,4 +155,51 @@ object Triangles {
       .limit(k)
       .select(col("a").as("concept_a"), col("b").as("concept_b"), col("n_common"))
   }
+
+  /** Fixed-point scale of [[linkPredictionRA]] scores (ppm). */
+  val RaScale: Long = 1000000L
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009): rank
+    * non-adjacent pairs by Σ over shared neighbours z of 1/deg(z) — the
+    * published refinement of raw common-neighbour counting that DISCOUNTS
+    * promiscuous shared neighbours smoothly instead of only capping them
+    * (a z shared with 500 others carries 1/500 of the evidence a
+    * degree-2 z carries; the same insight as idf weighting in retrieval).
+    * RA consistently beats common-neighbours and Adamic-Adar on accuracy
+    * in the link-prediction literature — and unlike Adamic-Adar's
+    * 1/log(deg) it needs no logarithm, so the score is an EXACT integer:
+    *
+    *   ra_q(a, b) = Σ_z (10^6 div deg(z))
+    *
+    * and the DuckDB oracle reproduces every score and the top-k boundary
+    * bit-for-bit (ties broken (score desc, a, b)).
+    *
+    * Scale posture identical to [[linkPrediction]]: wedge generation is
+    * Σ C(deg, 2), so nodes above `maxDeg` are excluded from wedge
+    * generation (with RA this loses almost nothing BY CONSTRUCTION — an
+    * excluded hub's per-wedge contribution is ≤ 10^6/maxDeg); deg(z) is
+    * carried on the wedge-centre row, so the scoring needs no extra join. */
+  def linkPredictionRA(edges: DataFrame, maxDeg: Long = 10000L, k: Int = 20): DataFrame = {
+    val e = edges
+      .select(
+        least(col("concept_a"), col("concept_b")).as("a"),
+        greatest(col("concept_a"), col("concept_b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val small = und.join(deg.where(col("deg") <= maxDeg), Seq("u"))
+    val x = small.select(col("u"), col("v").as("xv"), col("deg"))
+    val y = small.select(col("u"), col("v").as("yv"))
+    val ra = x
+      .join(y, Seq("u"))
+      .where(col("xv") < col("yv"))
+      .groupBy(col("xv").as("a"), col("yv").as("b"))
+      .agg(sum(expr(s"${RaScale}L div deg")).as("ra_q"))
+    ra.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_q").desc, col("a"), col("b"))
+      .limit(k)
+      .select(col("a").as("concept_a"), col("b").as("concept_b"), col("ra_q"))
+  }
 }

@@ -157,6 +157,56 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got(10000L) !== got(28L), "hub exclusion must change the ranking on this graph")
   }
 
+  test("RA link prediction equals brute force; hub evidence is discounted, not just capped") {
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val base = (0 until 90).map(_ => (rnd.nextInt(n), rnd.nextInt(n))).filter(p => p._1 != p._2)
+    val hub = (1 until n).map(i => (0, i))
+    val tedges = (base ++ hub).map(p => (f"N${math.min(p._1, p._2)}%02d", f"N${math.max(p._1, p._2)}%02d")).distinct
+    val df = tedges.toDF("concept_a", "concept_b").repartition(5)
+
+    def reference(maxDeg: Int): Seq[(String, String, Long)] = {
+      val und = (tedges ++ tedges.map(_.swap)).distinct
+      val adj = und.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      val eligible = adj.filter(_._2.size <= maxDeg).keySet
+      val edgeSet = tedges.toSet
+      val scores = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (u <- eligible; v <- adj(u); w <- adj(u); if v < w)
+        scores((v, w)) = scores.getOrElse((v, w), 0L) + graft.kg.Triangles.RaScale / adj(u).size
+      scores.toSeq
+        .collect { case ((a, b), s) if !edgeSet((a, b)) => (a, b, s) }
+        .sortBy { case (a, b, s) => (-s, a, b) }
+        .take(8)
+    }
+
+    def got(maxDeg: Long): Seq[(String, String, Long)] =
+      graft.kg.Triangles
+        .linkPredictionRA(df, maxDeg = maxDeg, k = 8)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+
+    assert(got(10000L) === reference(10000))
+    assert(got(28L) === reference(28))
+  }
+
+  test("RA discounts promiscuous shared neighbours smoothly (the property common-neighbours lacks)") {
+    // a-b share ONLY hub h (degree 5: a, b, x1..x3); c-d share ONLY z
+    // (degree 2: c, d). Common-neighbour counting ties them 1:1; RA must
+    // rank c-d (10^6 div 2 = 500000) far above a-b (10^6 div 5 = 200000)
+    val tedges = Seq(
+      ("a", "h"), ("b", "h"), ("h", "x1"), ("h", "x2"), ("h", "x3"),
+      ("c", "z"), ("d", "z"))
+      .map(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max))
+    val got = graft.kg.Triangles
+      .linkPredictionRA(tedges.toDF("concept_a", "concept_b"), k = 100)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got(("c", "d")) === 500000L)
+    assert(got(("a", "b")) === 200000L)
+  }
+
   /** Single-threaded reference LPA: synchronous weighted rounds, max total
     * incident weight per label, tie → min label. */
   private def referenceLpa(edges: Seq[(String, String, Long)], iterations: Int): Map[String, String] = {
