@@ -316,6 +316,13 @@ object SparkEntry {
         .select("concept_a", "concept_b")
       graft.kg.KCore.kCore(strong, k = 2)
     }),
+    // 3-truss of the strong-edge backbone: EDGE-grain cohesion (every
+    // surviving edge closes >= 1 triangle within the truss) — the stricter
+    // community certificate over kg_kcore's node grain; same
+    // run-to-fixpoint peeling, support recomputed per round via the
+    // audited degree-ordered triangle orientation
+    "kg_ktruss" -> ((s, dir) =>
+      graft.kg.KTruss.kTruss(strongBackbone(s, dir), k = 3)),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -1380,6 +1387,7 @@ object SparkEntry {
     "kg_clustering" -> OracleGen.clusteringSql,
     "kg_shortest_path" -> OracleGen.shortestPathSql(3),
     "kg_kcore" -> OracleGen.kCoreSql(2),
+    "kg_ktruss" -> OracleGen.kTrussSql(3),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,

@@ -817,6 +817,44 @@ object OracleGen {
        |FROM e$rounds GROUP BY 1""".stripMargin
   }
 
+  /** k-truss oracle: unrolled support-peel rounds (the [[kCoreSql]]
+    * device at EDGE grain) — per round a naive a<b<c three-way self-join
+    * enumerates triangles (a genuinely different formulation from the
+    * engine's degree-ordered orientation), support = per-edge triangle
+    * incidences, edges below k−2 drop. Rounds past the fixpoint are
+    * no-ops, so a generous unroll equals the engine's run-to-fixpoint. */
+  def kTrussSql(k: Int, rounds: Int = 12): String = {
+    val peels = (1 to rounds)
+      .map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           |  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e2.a = e1.b
+           |       JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$i AS MATERIALIZED (
+           |  SELECT a, b, COUNT(*) AS sup FROM (
+           |    SELECT u AS a, v AS b FROM t$i
+           |    UNION ALL SELECT u AS a, w AS b FROM t$i
+           |    UNION ALL SELECT v AS a, w AS b FROM t$i) GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE sup >= ${k - 2})""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT MAX(w) AS m FROM co0),
+       |e0 AS MATERIALIZED (SELECT ca AS a, cb AS b FROM co0, mx WHERE w * 100 >= m * 85),
+       |$peels
+       |SELECT e.a AS concept_a, e.b AS concept_b, CAST(s.sup AS BIGINT) AS support
+       |FROM e$rounds e JOIN s$rounds s ON s.a = e.a AND s.b = e.b""".stripMargin
+  }
+
   /** Bounded-weighted-shortest-path oracle: recursive-CTE walk enumeration
     * (≤ maxHops edges, costs accumulated in exact longs) + MIN rollup —
     * independent of the engine's Bellman-Ford relaxation rounds. Seed =

@@ -156,6 +156,52 @@ object Triangles {
       .select(col("a").as("concept_a"), col("b").as("concept_b"), col("n_common"))
   }
 
+  /** One row per (triangle, member edge) over CANONICAL edges (a < b, one
+    * row per pair — the caller guarantees this; [[KTruss]] does): each
+    * triangle is enumerated exactly once at its lowest-rank corner via the
+    * same degree-ordered orientation as [[triangleCounts]] (the O(m^1.5)
+    * wedge bound carries over), then credited to its three edges in
+    * canonical (id-ordered) form. Distinct from triangleCounts' corner
+    * explode: support is an EDGE-grain statistic, so the emit key is the
+    * pair, not the node. */
+  def triangleEdges(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges
+    val deg = e
+      .select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    val aLower = struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b"))
+    val oriented = withDeg
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"),
+        when(aLower, col("deg_b")).otherwise(col("deg_a")).as("hi_deg"))
+      .localCheckpoint() // feeds the wedge self-join AND the closing join
+    val o1 = oriented.as("o1")
+    val o2 = oriented.as("o2")
+    val wedges = o1
+      .join(
+        o2,
+        col("o1.lo") === col("o2.lo") &&
+          struct(col("o1.hi_deg"), col("o1.hi")) < struct(col("o2.hi_deg"), col("o2.hi")))
+      .select(col("o1.lo").as("u"), col("o1.hi").as("v"), col("o2.hi").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("lo").as("v"), col("hi").as("w")),
+      Seq("v", "w"))
+    tri.select(
+      explode(
+        array(
+          struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("edge"))
+      .select(col("edge.a").as("a"), col("edge.b").as("b"))
+  }
+
   /** Fixed-point scale of [[linkPredictionRA]] scores (ppm). */
   val RaScale: Long = 1000000L
 

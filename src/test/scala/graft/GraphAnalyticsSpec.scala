@@ -350,6 +350,61 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(graft.kg.KCore.kCore(df, k = 4).count() === 0L)
   }
 
+  /** Single-threaded reference k-truss: recompute per-edge triangle support
+    * (common-neighbour count within the surviving set) and peel < k−2 until
+    * stable. */
+  private def referenceKTruss(edges: Seq[(String, String)], k: Int): Map[(String, String), Int] = {
+    var e = edges.map(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max)).distinct.toSet
+    var stable = false
+    var sup = Map.empty[(String, String), Int]
+    while (!stable) {
+      val adj = (e.toSeq ++ e.toSeq.map(_.swap))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      sup = e.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size }.toMap
+      val next = e.filter(p => sup(p) >= k - 2)
+      stable = next == e
+      e = next
+    }
+    sup.filter { case (p, _) => e(p) }
+  }
+
+  test("k-truss peeling equals reference: tail and bridge edges peel, K4 survives") {
+    // K4 (Q1..Q4) + a triangle Q4-Q5-Q6 hanging off Q4 + a bridge Q6-Q7:
+    // at k=3 the bridge peels (no triangle) but BOTH cliques survive; at
+    // k=4 the hanging triangle (support 1 per edge) must peel in cascade
+    val edges = Seq(
+      ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"), ("Q2", "Q3"), ("Q2", "Q4"), ("Q3", "Q4"),
+      ("Q4", "Q5"), ("Q4", "Q6"), ("Q5", "Q6"), ("Q6", "Q7"))
+    val df = edges.toDF("concept_a", "concept_b").repartition(3)
+    def got(k: Int): Map[(String, String), Int] =
+      graft.kg.KTruss.kTruss(df, k).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt).toMap
+    val g3 = got(3)
+    assert(g3 === referenceKTruss(edges, 3))
+    assert(!g3.contains(("Q6", "Q7")), "the bridge closes no triangle")
+    assert(g3.contains(("Q4", "Q5")), "the hanging triangle survives the 3-truss")
+    val g4 = got(4)
+    assert(g4 === referenceKTruss(edges, 4))
+    assert(g4.keySet === Set(("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"),
+      ("Q2", "Q3"), ("Q2", "Q4"), ("Q3", "Q4")), "only the K4 survives the 4-truss")
+    assert(g4.values.forall(_ == 2), "every K4 edge closes exactly 2 triangles")
+    assert(graft.kg.KTruss.kTruss(df, 5).count() === 0L, "no 5-truss here")
+  }
+
+  test("k-truss on a pseudo-random hub graph matches reference peeling") {
+    val rnd = new scala.util.Random(47)
+    val n = 26
+    val base = (0 until 110).map(_ => (rnd.nextInt(n), rnd.nextInt(n))).filter(p => p._1 != p._2)
+    val hub = (1 until n).map(i => (0, i))
+    val edges = (base ++ hub)
+      .map(p => (f"N${math.min(p._1, p._2)}%02d", f"N${math.max(p._1, p._2)}%02d")).distinct
+    val df = edges.toDF("concept_a", "concept_b").repartition(5)
+    val got = graft.kg.KTruss.kTruss(df, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt).toMap
+    assert(got === referenceKTruss(edges, 4))
+    assert(got.nonEmpty, "hub graph should retain a 4-truss")
+  }
+
   test("k-core on a pseudo-random hub graph matches reference peeling") {
     val rnd = new scala.util.Random(31)
     val n = 30
