@@ -243,6 +243,11 @@ object SparkEntry {
     // per node — the skip-gram embedding feedstock derived from the KG
     "kg_walks" -> ((s, dir) =>
       graft.kg.Walks.deepWalks(coEdges(s, dir), nWalks = 2, len = 4)),
+    // node2vec second-order biased walks (p=1, q=0.5 as integer weights
+    // 1/1/2): the BFS<->DFS-tunable corpus; exact cumulative-bucket coin
+    "kg_node2vec" -> ((s, dir) =>
+      graft.kg.Walks.node2vecWalks(coEdges(s, dir), nWalks = 2, len = 4,
+        wReturn = 1L, wIn = 1L, wOut = 2L)),
     // contrastive negatives for KG-embedding training: one hash-coin
     // corrupted tail per positive edge, accidental positives filtered
     "kg_negatives" -> ((s, dir) => graft.kg.Walks.negativeSamples(coEdges(s, dir))),
@@ -1377,6 +1382,7 @@ object SparkEntry {
     "kg_components" -> OracleGen.componentsSql,
     "kg_modularity" -> OracleGen.modularitySql(4),
     "kg_walks" -> OracleGen.walksSql(2, 4),
+    "kg_node2vec" -> OracleGen.node2vecSql(2, 4, 1L, 1L, 2L),
     "kg_negatives" -> OracleGen.negativesSql,
     "kg_trends" -> OracleGen.trendsSql,
     "kg_triangles" -> OracleGen.trianglesSql,

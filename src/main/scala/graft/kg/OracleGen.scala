@@ -656,6 +656,63 @@ object OracleGen {
        |$emits""".stripMargin
   }
 
+  /** node2vec oracle: step 1 is the [[walksSql]] uniform argmin; each later
+    * step classifies candidates against the frontier's prev (return /
+    * distance-1 via a LEFT JOIN probe / distance-2), then reproduces the
+    * exact cumulative-bucket pick — SUM(w) windows per walk, one md5 coin
+    * per (walk, step) reduced mod the weight total — bit-for-bit. */
+  def node2vecSql(nWalks: Int, len: Int, wReturn: Long, wIn: Long, wOut: Long): String = {
+    val step1 =
+      s"""w1 AS MATERIALIZED (
+         |  SELECT walk_id, prev, dst AS node FROM (
+         |    SELECT f.walk_id, f.node AS prev, e.dst,
+         |           ROW_NUMBER() OVER (PARTITION BY f.walk_id
+         |             ORDER BY CAST('0x' || substr(md5(f.walk_id || '|' || '1' || '|' || e.dst), 1, 15) AS BIGINT),
+         |                      e.dst) AS rn
+         |    FROM w0 f JOIN sym e ON e.src = f.node)
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to len)
+      .map { t =>
+        s"""c$t AS MATERIALIZED (
+           |  SELECT f.walk_id, f.node AS cur, e.dst AS cand,
+           |         CASE WHEN e.dst = f.prev THEN $wReturn
+           |              WHEN ie.src IS NOT NULL THEN $wIn
+           |              ELSE $wOut END AS w
+           |  FROM w${t - 1} f JOIN sym e ON e.src = f.node
+           |  LEFT JOIN sym ie ON ie.src = f.prev AND ie.dst = e.dst),
+           |w$t AS MATERIALIZED (
+           |  SELECT walk_id, cur AS prev, cand AS node FROM (
+           |    SELECT walk_id, cur, cand, w,
+           |           SUM(w) OVER (PARTITION BY walk_id ORDER BY cand) AS cum,
+           |           SUM(w) OVER (PARTITION BY walk_id) AS tot,
+           |           CAST('0x' || substr(md5(walk_id || '|' || '$t'), 1, 15) AS BIGINT) AS h
+           |    FROM c$t)
+           |  WHERE (h % tot) >= cum - w AND (h % tot) < cum)""".stripMargin
+      }
+      .mkString(",\n")
+    val emits = (1 to len)
+      .map(t => s"UNION ALL SELECT walk_id, $t AS step, node FROM w$t")
+      .mkString("\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |w0 AS MATERIALIZED (SELECT n.node || '#' || CAST(j AS VARCHAR) AS walk_id, n.node
+       |       FROM nodes n CROSS JOIN (SELECT unnest(range($nWalks)) AS j)),
+       |$step1,
+       |$steps
+       |SELECT walk_id, 0 AS step, node FROM w0
+       |$emits""".stripMargin
+  }
+
   /** PageRank oracle: the co-occurrence CTE chain, then `iterations`
     * unrolled fixed-point iterations (scale 2^32, damping 85/100) in exact
     * integer arithmetic — DuckDB `//` floor-division matches Spark's `div`

@@ -81,6 +81,116 @@ object Walks {
     out
   }
 
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec 2016) —
+    * the published refinement of [[deepWalks]]: the step out of node `cur`
+    * depends on the PREVIOUS node too, weighting each candidate by its
+    * distance from `prev` (return / stay-close / explore), which is what
+    * lets one walk corpus interpolate between BFS-like (structural roles)
+    * and DFS-like (communities) neighbourhoods. The paper's 1/p, 1, 1/q
+    * biases are taken as unnormalized INTEGER weights (wReturn, wIn, wOut)
+    * — any rational (p, q) maps to integers via the common denominator,
+    * e.g. p=1, q=0.5 → (1, 1, 2) — so every transition probability is a
+    * ratio of longs and the corpus stays bit-reproducible.
+    *
+    * Choice is the EXACT cumulative-bucket form of the hash coin (the
+    * device [[deepWalks]]' Scaladoc promises for the weighted case): one
+    * 60-bit md5 coin per (walk, step), reduced mod the candidate weight
+    * total, lands in exactly one candidate's cumulative-weight interval
+    * [cum−w, cum) under the deterministic candidate ordering (by id).
+    * P(candidate) = w/W exactly (modulo the 2^-60-scale coin-reduction
+    * bias), and DuckDB reproduces every pick bit-for-bit.
+    *
+    * Scale posture: the static edge list is cached columnar and
+    * hash-partitioned on src, reused by BOTH per-step joins (candidate
+    * fan-out on src=cur; the distance-1 classifier probe on (prev, cand) —
+    * an equi-join on the same relation, never an adjacency-set broadcast).
+    * The cumulative window partitions BY WALK ordered by candidate id: its
+    * group size is deg(cur) — the irreducible cost of exact weighted
+    * sampling (the paper's alias tables pay the same per-visit O(deg)
+    * preprocessing), paid only by walks currently AT a hub, never
+    * materializing a hub's full neighbourhood against every walk. Frontier
+    * state is 3 columns per live walk; the corpus stays linear in the walk
+    * budget. First step is uniform (no prev yet) — the paper's convention. */
+  def node2vecWalks(
+      edges: DataFrame,
+      nWalks: Int = 2,
+      len: Int = 4,
+      wReturn: Long = 1L,
+      wIn: Long = 1L,
+      wOut: Long = 2L): DataFrame = {
+    require(nWalks > 0 && len > 0, s"nWalks and len must be positive: $nWalks, $len")
+    require(
+      wReturn > 0 && wIn > 0 && wOut > 0,
+      s"bias weights must be positive longs: $wReturn, $wIn, $wOut")
+    val sym = edges
+      .select(col("concept_a").as("src"), col("concept_b").as("dst"))
+      .union(edges.select(col("concept_b").as("src"), col("concept_a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    val starts = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .crossJoin(spark_range0(edges, nWalks))
+      .select(concat(col("node"), lit("#"), col("j").cast("string")).as("walk_id"), col("node"))
+
+    // step 1: uniform hash-argmin (second-order bias needs a prev, which
+    // only exists from the second transition on) — frontier = (walk, prev, node)
+    var frontier = sym
+      .join(starts.hint("SHUFFLE_HASH"), sym("src") === starts("node"))
+      .select(
+        col("walk_id"),
+        starts("node").as("prev"),
+        col("dst"),
+        conv(substring(md5(concat_ws("|", col("walk_id"), lit("1"), col("dst"))), 1, 15), 16, 10)
+          .cast("long")
+          .as("h"))
+      .groupBy("walk_id")
+      .agg(min(struct(col("h"), col("dst"), col("prev"))).as("m"))
+      .select(col("walk_id"), col("m.prev").as("prev"), col("m.dst").as("node"))
+    var corpus = starts
+      .select(col("walk_id"), lit(0).as("step"), col("node"))
+      .union(frontier.select(col("walk_id"), lit(1).as("step"), col("node")))
+
+    val byWalk = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
+    val cumWin = byWalk.orderBy("cand")
+    for (t <- 2 to len) {
+      val cand = sym
+        .join(frontier.hint("SHUFFLE_HASH"), sym("src") === frontier("node"))
+        .select(col("walk_id"), col("prev"), col("node").as("cur"), col("dst").as("cand"))
+      val inProbe = sym.select(col("src").as("prev"), col("dst").as("cand"), lit(1).as("is_in"))
+      val weighted = cand
+        .join(inProbe, Seq("prev", "cand"), "left")
+        .select(
+          col("walk_id"),
+          col("cur"),
+          col("cand"),
+          when(col("cand") === col("prev"), lit(wReturn))
+            .when(col("is_in").isNotNull, lit(wIn))
+            .otherwise(lit(wOut))
+            .as("w"))
+      frontier = weighted
+        .select(
+          col("walk_id"),
+          col("cur"),
+          col("cand"),
+          col("w"),
+          sum(col("w")).over(cumWin).as("cum"),
+          sum(col("w")).over(byWalk).as("tot"))
+        .withColumn(
+          "coin",
+          conv(substring(md5(concat_ws("|", col("walk_id"), lit(t.toString))), 1, 15), 16, 10)
+            .cast("long") % col("tot"))
+        .where(col("coin") >= col("cum") - col("w") && col("coin") < col("cum"))
+        .select(col("walk_id"), col("cur").as("prev"), col("cand").as("node"))
+      corpus = corpus.union(frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
+    }
+    val out = corpus.localCheckpoint()
+    sym.unpersist(false)
+    out
+  }
+
   /** 0..n-1 as a 1-column (j) DataFrame on the input's session — a plan
     * literal (n is the per-node walk budget, a constant). */
   private def spark_range0(like: DataFrame, n: Int): DataFrame =

@@ -593,6 +593,76 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got("cA")._4 > 0L && got("cB")._4 > 0L)
   }
 
+  test("node2vecWalks equals the single-threaded second-order reference; biases are exact") {
+    val rnd = new scala.util.Random(23)
+    val n = 18
+    val es = ((0 until 60).map(_ => (rnd.nextInt(n), rnd.nextInt(n))) ++ (1 until n).map((0, _)))
+      .filter(p => p._1 != p._2)
+      .map(p => (f"N${math.min(p._1, p._2)}%02d", f"N${math.max(p._1, p._2)}%02d"))
+      .distinct
+    val adj = es
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).distinct.sorted }
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val (wRet, wIn, wOut) = (1L, 1L, 2L)
+    def reference(nWalks: Int, len: Int): Set[(String, Int, String)] = {
+      adj.keys.toSeq.flatMap { start =>
+        (0 until nWalks).flatMap { j =>
+          val id = s"$start#$j"
+          var prev = start
+          var cur = adj(start).minBy(v => (h(s"$id|1|$v"), v))
+          (id, 0, start) +: (id, 1, cur) +: (2 to len).map { t =>
+            // candidates in id order; exact cumulative-bucket pick
+            val cands = adj(cur)
+            val ws = cands.map { v =>
+              if (v == prev) wRet else if (adj(prev).contains(v)) wIn else wOut
+            }
+            val tot = ws.sum
+            val coin = h(s"$id|$t") % tot
+            val cum = ws.scanLeft(0L)(_ + _).tail
+            val pick = cands(cum.indexWhere(coin < _))
+            prev = cur
+            cur = pick
+            (id, t, cur)
+          }
+        }
+      }.toSet
+    }
+    val got = graft.kg.Walks
+      .node2vecWalks(es.toDF("concept_a", "concept_b"), nWalks = 2, len = 4,
+        wReturn = wRet, wIn = wIn, wOut = wOut)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(got === reference(2, 4))
+    // structural sanity: every step is an edge, every walk runs full length
+    val byWalk = got.groupBy(_._1)
+    assert(byWalk.size == adj.size * 2)
+    assert(byWalk.values.forall(_.size == 5))
+    byWalk.values.foreach { rows =>
+      rows.toSeq.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(u, v) => assert(adj(u).contains(v), s"$u -> $v is not an edge")
+        case _         =>
+      }
+    }
+  }
+
+  test("node2vec bias weights steer the corpus: strong-return weights differ from explore weights") {
+    // a triangle + pendant: different (wReturn, wIn, wOut) must change picks
+    val es = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"))
+    val df = es.toDF("concept_a", "concept_b")
+    def corpus(wr: Long, wi: Long, wo: Long): Set[(String, Int, String)] =
+      graft.kg.Walks.node2vecWalks(df, nWalks = 4, len = 6, wr, wi, wo)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val returny = corpus(1000000L, 1L, 1L)
+    val explorey = corpus(1L, 1L, 1000000L)
+    assert(returny !== explorey, "extreme opposite biases must produce different walks")
+  }
+
   test("deepWalks equals the single-threaded hash-coin reference; walks are valid paths") {
     val es = Seq(
       ("Q1", "Q2", 1L), ("Q2", "Q3", 1L), ("Q3", "Q4", 1L), ("Q1", "Q3", 1L))
