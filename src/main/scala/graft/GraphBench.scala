@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   *   - betweenness: exact hop-bounded Brandes (maxHops 4) on a 10k-node
   *                 degree-6 graph + a planted bridge node joining two
   *                 halves. Truth: the bridge tops the ranking.
+  *   - ktruss:     6-truss peel over 500k planted K6 cliques linked by a
+  *                 triangle-free chain (~8M edges). Truth: the truss is
+  *                 PROVABLY exactly the clique edges, every support == 4,
+  *                 all chain edges peel. Proves the per-round triangle
+  *                 enumeration + support agg at millions of edges.
+  *   - node2vec:   second-order biased walks (1 walk × len 4) from every
+  *                 node of a 1M-node block graph. Truth: no sinks, so the
+  *                 corpus is exactly nodes·(len+1) rows. Proves the
+  *                 classify-join + per-walk cumulative-window pick at a
+  *                 millions-of-walks frontier.
   *
   * Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_GRAPH_SCALE (1.0 — multiplies
   * every size knob; 0.1 for a smoke run).
@@ -150,6 +160,64 @@ object GraphBench {
       s"harmonic sum bound violated: ${harmStats.getLong(1)}")
     val harmNodes = harmStats.getLong(2)
 
+    // ---- k-truss on planted cliques over a triangle-free chain -----------
+    // 500k disjoint K6 cliques on node blocks [6k..6k+5] + the single
+    // cross-block chain edge (6k+5, 6k+6). Triangles exist ONLY within
+    // cliques (the only cross-block edge per boundary can close nothing),
+    // so the 6-truss is PROVABLY exactly the clique edges, each with
+    // support exactly 4 — and the cross-block edges must peel in round 1.
+    val cliques = (500000 * scale).toLong.max(1000L)
+    val six = spark.range(cliques * 6)
+    val cliqueEdges = six
+      .select((col("id") - col("id") % 6).as("base"), (col("id") % 6).as("i"))
+      .join(spark.range(6).select(col("id").as("j")), col("i") < col("j"))
+      .select(nid(col("base") + col("i")).as("concept_a"), nid(col("base") + col("j")).as("concept_b"))
+    val chainEdges = spark
+      .range(cliques - 1)
+      .select(nid(col("id") * 6 + 5).as("concept_a"), nid(col("id") * 6 + 6).as("concept_b"))
+    val trussIn = cliqueEdges.union(chainEdges)
+    val (truss, trussSec) = Bench.time {
+      val r = graft.kg.KTruss.kTruss(trussIn, k = 6)
+      r.count(); r
+    }
+    val trussStats = truss.agg(count(lit(1)), min(col("support")), max(col("support"))).collect()(0)
+    require(
+      trussStats.getLong(0) == cliques * 15,
+      s"6-truss must be exactly the clique edges: ${trussStats.getLong(0)} vs ${cliques * 15}")
+    require(
+      trussStats.getLong(1) == 4L && trussStats.getLong(2) == 4L,
+      s"every K6 edge closes exactly 4 triangles: got [${trussStats.getLong(1)}, ${trussStats.getLong(2)}]")
+    val trussEdgesN = cliques * 15 + (cliques - 1)
+
+    // ---- node2vec: millions of simultaneous second-order walks -----------
+    // the block graph again; truth = symmetrized graph has no sinks, so the
+    // corpus is exactly nodes·(len+1) rows — proves the classify-join +
+    // per-walk cumulative-window pick at a multi-million-walk frontier
+    val nvNodes = (1000000 * scale).toLong.max(10000L)
+    val nvPath = s"/tmp/graft_cc_bench_$nvNodes"
+    if (!Bench.parquetComplete(nvPath))
+      CcBench.synthesize(spark, nvNodes).repartition(cpus * 4).write.mode("overwrite").parquet(nvPath)
+    val nvEdges = spark.read.parquet(nvPath)
+    val nvLen = 4
+    val (nv, nvSec) = Bench.time {
+      val r = graft.kg.Walks.node2vecWalks(
+        nvEdges
+          .where(col("src") =!= col("dst"))
+          .select(col("src").as("concept_a"), col("dst").as("concept_b")),
+        nWalks = 1,
+        len = nvLen)
+      r.count(); r
+    }
+    val nvWalkNodes = nvEdges
+      .where(col("src") =!= col("dst"))
+      .select(explode(array(col("src"), col("dst"))))
+      .distinct()
+      .count()
+    val nvRows = nv.count()
+    require(
+      nvRows == nvWalkNodes * (nvLen + 1),
+      s"no sinks, every node2vec walk must run full length: $nvRows vs ${nvWalkNodes * (nvLen + 1)}")
+
     // ---- Betweenness on a star-of-stars ----------------------------------
     // centre S — k satellites — t leaves per satellite. Shortest paths are
     // UNIQUE (sigma = 1 everywhere) and at maxHops 3 the pairs through S
@@ -179,7 +247,7 @@ object GraphBench {
     val bcNodes = bc.count()
 
     println(
-      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true}}""")
+      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true},"ktruss":{"n_edges":$trussEdgesN,"k":6,"sec":$trussSec%.3f,"edges_per_sec":${trussEdgesN / trussSec}%.1f,"exact_cliques":true},"node2vec":{"n_walks":$nvWalkNodes,"len":$nvLen,"corpus_rows":$nvRows,"sec":$nvSec%.3f,"walk_steps_per_sec":${nvRows / nvSec}%.1f,"full_length":true}}""")
     spark.stop()
   }
 }

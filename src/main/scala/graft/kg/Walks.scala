@@ -122,9 +122,16 @@ object Walks {
     require(
       wReturn > 0 && wIn > 0 && wOut > 0,
       s"bias weights must be positive longs: $wReturn, $wIn, $wOut")
+    // distinct is LOAD-BEARING here, unlike deepWalks (whose hash argmin is
+    // duplicate-immune): a duplicate candidate row would give both copies
+    // the SAME cumulative sum under the ordered window's RANGE frame,
+    // leaving a [cum−2w, cum−w) gap no row owns — a coin landing there
+    // would silently kill the walk
     val sym = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"))
       .union(edges.select(col("concept_b").as("src"), col("concept_a").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()

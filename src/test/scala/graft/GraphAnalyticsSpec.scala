@@ -651,6 +651,22 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("node2vec survives duplicate and both-orientation input edges (coin-gap regression)") {
+    // duplicates must not split a candidate's cumulative interval: without
+    // the internal distinct, tied rows share one cum under the RANGE frame
+    // and a coin landing in the orphaned gap silently kills the walk
+    val clean = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"))
+    val dirty = clean ++ clean ++ clean.map(_.swap) // triplicate, mixed orientation
+    def corpus(es: Seq[(String, String)]): Set[(String, Int, String)] =
+      graft.kg.Walks.node2vecWalks(es.toDF("concept_a", "concept_b"), nWalks = 3, len = 6)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val got = corpus(dirty)
+    assert(got === corpus(clean), "duplicate edges must not change any pick")
+    val byWalk = got.groupBy(_._1)
+    assert(byWalk.size === 4 * 3)
+    assert(byWalk.values.forall(_.size === 7), "every walk runs full length")
+  }
+
   test("node2vec bias weights steer the corpus: strong-return weights differ from explore weights") {
     // a triangle + pendant: different (wReturn, wIn, wOut) must change picks
     val es = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"))
