@@ -328,6 +328,18 @@ object SparkEntry {
     // audited degree-ordered triangle orientation
     "kg_ktruss" -> ((s, dir) =>
       graft.kg.KTruss.kTruss(strongBackbone(s, dir), k = 3)),
+    // degree assortativity of the FULL co-occurrence graph (Newman 2002):
+    // one summary row of exact-long sufficient statistics + the IEEE r
+    "kg_assortativity" -> ((s, dir) =>
+      graft.kg.GraphStats.assortativity(coEdges(s, dir))),
+    // per-node 4-cycle counts on the backbone: wedge-pair combinatorics
+    // vs the oracle's brute-force closed-4-walk enumeration
+    "kg_rectangles" -> ((s, dir) =>
+      graft.kg.GraphStats.rectangleCounts(strongBackbone(s, dir))),
+    // diameter/radius rollup of the hop-bounded eccentricity relation
+    "kg_diameter" -> ((s, dir) =>
+      graft.kg.GraphStats.diameterSummary(
+        graft.kg.Centrality.eccentricity(strongBackbone(s, dir), maxHops = 6))),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -1394,6 +1406,9 @@ object SparkEntry {
     "kg_shortest_path" -> OracleGen.shortestPathSql(3),
     "kg_kcore" -> OracleGen.kCoreSql(2),
     "kg_ktruss" -> OracleGen.kTrussSql(3),
+    "kg_assortativity" -> OracleGen.assortativitySql,
+    "kg_rectangles" -> OracleGen.rectanglesSql(10000L),
+    "kg_diameter" -> OracleGen.diameterSql(6),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,

@@ -912,6 +912,84 @@ object OracleGen {
        |FROM e$rounds e JOIN s$rounds s ON s.a = e.a AND s.b = e.b""".stripMargin
   }
 
+  /** Degree-assortativity oracle over the FULL co-occurrence graph: the
+    * same exact-long sufficient statistics as [[GraphStats.assortativity]]
+    * computed by plain SQL joins (DuckDB raises natively on int64 overflow
+    * — the loud behavior the engine's guard mirrors), r as the single IEEE
+    * division of the two exact longs. */
+  val assortativitySql: String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |dg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |prs AS (
+       |  SELECT d1.deg AS dx, d2.deg AS dy
+       |  FROM sym s JOIN dg d1 ON d1.node = s.src JOIN dg d2 ON d2.node = s.dst),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+       |         CAST(COALESCE(SUM(dx), 0) AS BIGINT) AS sx,
+       |         CAST(COALESCE(SUM(dx * dy), 0) AS BIGINT) AS sxy,
+       |         CAST(COALESCE(SUM(dx * dx), 0) AS BIGINT) AS sx2
+       |  FROM prs)
+       |SELECT m2, sx, sxy, sx2,
+       |       m2 * sxy - sx * sx AS num,
+       |       m2 * sx2 - sx * sx AS den,
+       |       CASE WHEN m2 * sx2 - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(m2 * sxy - sx * sx AS DOUBLE) / CAST(m2 * sx2 - sx * sx AS DOUBLE)
+       |       END AS r
+       |FROM sums""".stripMargin
+
+  /** Rectangle-count oracle: brute-force ordered closed-4-walk enumeration
+    * over the hub-pruned strong backbone — four adjacency joins with the
+    * two diagonal-distinctness predicates, counted per start node and
+    * halved for the direction symmetry. A genuinely different formulation
+    * from the engine's wedge-pair combinatorics
+    * ([[GraphStats.rectangleCounts]]); they must agree on every node. */
+  def rectanglesSql(maxDeg: Long): String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |dg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |keep AS MATERIALIZED (SELECT node FROM dg WHERE deg <= $maxDeg),
+       |sub AS MATERIALIZED (
+       |  SELECT s.src AS u, s.dst AS v FROM sym s
+       |  JOIN keep k1 ON k1.node = s.src JOIN keep k2 ON k2.node = s.dst),
+       |walks AS (
+       |  SELECT e1.u AS node
+       |  FROM sub e1 JOIN sub e2 ON e2.u = e1.v
+       |       JOIN sub e3 ON e3.u = e2.v
+       |       JOIN sub e4 ON e4.u = e3.v AND e4.v = e1.u
+       |  WHERE e1.u <> e2.v AND e1.v <> e3.v),
+       |cnt AS (SELECT node, COUNT(*) AS c FROM walks GROUP BY 1)
+       |SELECT n.u AS concept_id, CAST(COALESCE(c.c, 0) // 2 AS BIGINT) AS n_rectangles
+       |FROM (SELECT DISTINCT u FROM sub) n LEFT JOIN cnt c ON c.node = n.u""".stripMargin
+
+  /** Diameter/radius oracle: the 1-row MAX/MIN/COUNT rollup over the
+    * hop-bounded eccentricity oracle (same CTE chain, different tail). */
+  def diameterSql(maxHops: Int): String =
+    s"""SELECT CAST(MAX(ecc_hops) AS INT) AS diameter_hops,
+       |       CAST(MIN(ecc_hops) AS INT) AS radius_hops,
+       |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM (${eccentricitySql(maxHops)})""".stripMargin
+
   /** Bounded-weighted-shortest-path oracle: recursive-CTE walk enumeration
     * (≤ maxHops edges, costs accumulated in exact longs) + MIN rollup —
     * independent of the engine's Bellman-Ford relaxation rounds. Seed =

@@ -828,4 +828,72 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     // every emitted tail is a real dictionary node and never an endpoint
     assert(got.forall { case (a, b, t) => nodes.contains(t) && t != a && t != b })
   }
+
+  test("assortativity: a perfect star is exactly -1; a regular cycle is 0 by convention") {
+    // star: center degree 3, leaves degree 1 -> r = -1 exactly
+    val star = Seq(("C", "L1"), ("C", "L2"), ("C", "L3")).toDF("concept_a", "concept_b")
+    val rowS = graft.kg.GraphStats.assortativity(star).collect().head
+    assert(rowS.getAs[Long]("m2") === 6L)
+    assert(rowS.getAs[Long]("sx") === 12L)   // 3*3 + 1*3
+    assert(rowS.getAs[Long]("sxy") === 18L)  // 6 pairs of 3*1
+    assert(rowS.getAs[Long]("sx2") === 30L)  // 9*3 + 1*3
+    assert(rowS.getAs[Long]("num") === -36L)
+    assert(rowS.getAs[Long]("den") === 36L)
+    assert(rowS.getAs[Double]("r") === -1.0)
+    // 4-cycle: every degree 2 -> zero degree variance -> r = 0 convention
+    val cyc = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("A", "D")).toDF("concept_a", "concept_b")
+    val rowC = graft.kg.GraphStats.assortativity(cyc).collect().head
+    assert(rowC.getAs[Long]("den") === 0L)
+    assert(rowC.getAs[Double]("r") === 0.0)
+  }
+
+  test("rectangles: K4 has 3 per node; pendants and detached edges count 0") {
+    // K4 on A,B,C,D (3 Hamilton 4-cycles, each through all four nodes),
+    // a pendant E-A (on no cycle), a detached edge F-G
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D"),
+      ("E", "A"), ("F", "G")
+    ).toDF("concept_a", "concept_b")
+    val got = graft.kg.GraphStats
+      .rectangleCounts(edges)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val want = Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L, "E" -> 0L, "F" -> 0L, "G" -> 0L)
+    assert(got === want)
+    // a plain 4-cycle: exactly one rectangle through each node
+    val cyc = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("A", "D")).toDF("concept_a", "concept_b")
+    val gotCyc = graft.kg.GraphStats
+      .rectangleCounts(cyc)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(gotCyc === Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
+  }
+
+  test("rectangles: hub prune excludes the hub and its incident cycles, by original degree") {
+    // square A-B-C-D plus hub H linked to everything: prune at maxDeg=3
+    // removes H (deg 4) and leaves the square's 1-per-node counts
+    val edges = Seq(
+      ("A", "B"), ("B", "C"), ("C", "D"), ("A", "D"),
+      ("H", "A"), ("H", "B"), ("H", "C"), ("H", "D")
+    ).toDF("concept_a", "concept_b")
+    val got = graft.kg.GraphStats
+      .rectangleCounts(edges, maxDeg = 3L)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
+  }
+
+  test("diameter summary: max/min eccentricity over a path") {
+    val path = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")).toDF("concept_a", "concept_b")
+    val row = graft.kg.GraphStats
+      .diameterSummary(graft.kg.Centrality.eccentricity(path, maxHops = 6))
+      .collect()
+      .head
+    assert(row.getAs[Int]("diameter_hops") === 4)
+    assert(row.getAs[Int]("radius_hops") === 2)
+    assert(row.getAs[Long]("n_nodes") === 5L)
+  }
 }
