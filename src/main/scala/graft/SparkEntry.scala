@@ -340,6 +340,20 @@ object SparkEntry {
     "kg_diameter" -> ((s, dir) =>
       graft.kg.GraphStats.diameterSummary(
         graft.kg.Centrality.eccentricity(strongBackbone(s, dir), maxHops = 6))),
+    // SCCs of the implication digraph (backbone edges directed from the
+    // rarer to the more frequent concept; equal marginals -> mutual, which
+    // is where real cycles come from): forward-backward coloring vs the
+    // oracle's mutual-reachability closure
+    "kg_scc" -> ((s, dir) => {
+      val marginals = mentions(s, dir)
+        .select("conv_id", "concept_id")
+        .distinct()
+        .groupBy("concept_id")
+        .agg(count(lit(1)).as("n"))
+      graft.kg.Scc.run(
+        s,
+        graft.kg.Scc.implicationDigraph(strongBackbone(s, dir), marginals))
+    }),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -1409,6 +1423,7 @@ object SparkEntry {
     "kg_assortativity" -> OracleGen.assortativitySql,
     "kg_rectangles" -> OracleGen.rectanglesSql(10000L),
     "kg_diameter" -> OracleGen.diameterSql(6),
+    "kg_scc" -> OracleGen.sccSql,
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,

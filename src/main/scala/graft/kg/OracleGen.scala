@@ -982,6 +982,41 @@ object OracleGen {
        |SELECT n.u AS concept_id, CAST(COALESCE(c.c, 0) // 2 AS BIGINT) AS n_rectangles
        |FROM (SELECT DISTINCT u FROM sub) n LEFT JOIN cnt c ON c.node = n.u""".stripMargin
 
+  /** SCC oracle over the implication digraph: a recursive reachability
+    * closure + MUTUAL-pair self-join + MIN rollup — scc_id(v) = min w with
+    * v →* w and w →* v (v itself included via the zero-length base rows).
+    * Independent of the engine's forward-backward coloring rounds. */
+  val sccSql: String =
+    s"""WITH RECURSIVE $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |mar AS MATERIALIZED (SELECT concept_id, COUNT(*) AS n FROM pc GROUP BY 1),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |dig AS MATERIALIZED (
+       |  SELECT co.ca AS src, co.cb AS dst
+       |  FROM co JOIN mar ma ON ma.concept_id = co.ca JOIN mar mb ON mb.concept_id = co.cb
+       |  WHERE ma.n <= mb.n
+       |  UNION ALL
+       |  SELECT co.cb, co.ca
+       |  FROM co JOIN mar ma ON ma.concept_id = co.ca JOIN mar mb ON mb.concept_id = co.cb
+       |  WHERE mb.n <= ma.n),
+       |reach(s, v) AS (
+       |  SELECT src, src FROM dig UNION SELECT dst, dst FROM dig
+       |  UNION
+       |  SELECT r.s, e.dst FROM reach r JOIN dig e ON e.src = r.v
+       |),
+       |mutual AS (
+       |  SELECT a.s AS v, a.v AS w FROM reach a JOIN reach b ON b.s = a.v AND b.v = a.s)
+       |SELECT v AS node, MIN(w) AS scc_id FROM mutual GROUP BY 1""".stripMargin
+
   /** Diameter/radius oracle: the 1-row MAX/MIN/COUNT rollup over the
     * hop-bounded eccentricity oracle (same CTE chain, different tail). */
   def diameterSql(maxHops: Int): String =

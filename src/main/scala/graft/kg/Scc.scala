@@ -1,0 +1,147 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components of a DIRECTED concept graph — the cyclic
+  * sibling of [[ConnectedComponents]]: nodes are in one SCC iff each
+  * reaches the other along directed edges. Directedness enters this engine
+  * through the implication digraph ([[implicationDigraph]]): a
+  * co-occurrence edge points from the RARER concept to the more frequent
+  * one (the association-rule confidence direction, conf(a→b) = n_ab/n_a >
+  * conf(b→a) iff n_a < n_b — specific implies general), with
+  * equal-frequency pairs mutual. SCCs of that digraph are clusters of
+  * mutually-implicative concepts; the condensation is the
+  * specific-to-general DAG.
+  *
+  * Algorithm: forward-backward coloring (Orzan 2004; the standard
+  * label-propagation SCC shape for bulk-synchronous engines — Slota et
+  * al.'s trim-FWBW and Pregel SCC are the same skeleton):
+  *
+  *   1. forward phase — propagate the MINIMUM reaching node id along
+  *      edges to fixpoint: c(v) = min id with c-source →* v. A root r has
+  *      c(r) = r. If w ∈ SCC(r) then c(w) = r (any smaller id reaching w
+  *      would reach r through w — contradiction), so each color class
+  *      contains its root's whole SCC.
+  *   2. backward phase — BFS from the roots along REVERSED edges,
+  *      restricted to the root's own color class: the reached set is
+  *      exactly {v : c(v) = r ∧ v →* r} = SCC(r).
+  *   3. peel the settled SCCs, repeat on the remainder (each round
+  *      settles ≥ 1 SCC per color class; acyclic regions settle in one).
+  *
+  * Every phase is the audited iterate-join shape: static edge relation
+  * filtered to the active set per outer round, per inner round ONE
+  * SHUFFLE_HASH join exchanging only the (node, label) vector + a
+  * min/exists partial-agg, serialized localCheckpoint lineage truncation.
+  * Inner fixpoints are detected by a 1-row change count; the outer loop
+  * raises LOUDLY on maxRounds exhaustion ([[KCore]]'s posture) instead of
+  * returning a partial assignment.
+  *
+  * Scale posture: label relations are node-grain (dictionary-sized here —
+  * the corpus enters only through pre-aggregated co-occurrence counts),
+  * edges are scanned once per inner round. Worst-case outer rounds is the
+  * longest chain of SCCs sharing one color class; the published mitigation
+  * (trim degree-0 nodes first, multi-pivot) drops in as a pre-filter
+  * without changing the loop body.
+  */
+object Scc {
+
+  /** The implication digraph over the strong-edge backbone: each
+    * undirected co-occurrence pair (a, b) emits a→b when n_a ≤ n_b and
+    * b→a when n_b ≤ n_a (both — a mutual pair — on equal marginals), with
+    * n_x = the number of conversations mentioning x. Marginals join the
+    * dictionary-grain pair relation; nothing corpus-grain moves. */
+  def implicationDigraph(pairs: DataFrame, marginals: DataFrame): DataFrame = {
+    val withN = pairs
+      .join(marginals.select(col("concept_id").as("concept_a"), col("n").as("n_a")), Seq("concept_a"))
+      .join(marginals.select(col("concept_id").as("concept_b"), col("n").as("n_b")), Seq("concept_b"))
+    val ab = withN.where(col("n_a") <= col("n_b"))
+      .select(col("concept_a").as("src"), col("concept_b").as("dst"))
+    val ba = withN.where(col("n_b") <= col("n_a"))
+      .select(col("concept_b").as("src"), col("concept_a").as("dst"))
+    ab.union(ba)
+  }
+
+  /** @param edges directed edges (src, dst); self-loops ignored.
+    * @return (node, scc_id) for every node appearing in `edges`,
+    *         scc_id = min node id of the component. */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxOuterRounds: Int = 50,
+      maxInnerRounds: Int = 200
+  ): DataFrame = {
+    import spark.implicits._
+    val e0 = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val allNodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+
+    var active = allNodes // nodes not yet assigned
+    var activeEdges = e0
+    var settled: DataFrame = Seq.empty[(String, String)].toDF("node", "scc_id")
+    var outer = 0
+    var activeCount = active.count()
+
+    while (activeCount > 0) {
+      outer += 1
+      require(
+        outer <= maxOuterRounds,
+        s"SCC coloring did not settle within $maxOuterRounds outer rounds ($activeCount nodes left)")
+
+      // ---- forward phase: min reaching id to fixpoint --------------------
+      var color = active.select(col("node"), col("node").as("c")).localCheckpoint()
+      var changed = 1L
+      var inner = 0
+      while (changed > 0) {
+        inner += 1
+        require(inner <= maxInnerRounds, s"SCC forward phase exceeded $maxInnerRounds rounds")
+        val next = color
+          .join(activeEdges, col("node") === col("src"))
+          .select(col("dst").as("node"), col("c"))
+          .union(color)
+          .groupBy("node")
+          .agg(min(col("c")).as("c"))
+          .localCheckpoint()
+        changed = next
+          .join(color.withColumnRenamed("c", "c_old"), Seq("node"))
+          .where(col("c") =!= col("c_old"))
+          .count()
+        color = next
+      }
+
+      // ---- backward phase: reverse-BFS from roots inside their color ----
+      // seed: the roots themselves (c(r) = r); frontier carries the color,
+      // expansion stays within it, so each reached node's SCC id is its c
+      var reached = color.where(col("node") === col("c")).localCheckpoint()
+      var frontier = reached
+      while (frontier.count() > 0) {
+        val step = frontier
+          .join(activeEdges, col("node") === col("dst"))
+          .select(col("src").as("node"), col("c"))
+          .join(color.withColumnRenamed("c", "c_node"), Seq("node"))
+          .where(col("c") === col("c_node")) // stay inside the color class
+          .select("node", "c")
+          .distinct()
+        frontier = step.join(reached, Seq("node", "c"), "left_anti").localCheckpoint()
+        reached = reached.union(frontier).localCheckpoint()
+      }
+
+      val newlySettled = reached.select(col("node"), col("c").as("scc_id"))
+      settled = settled.union(newlySettled).localCheckpoint()
+      active = active.join(newlySettled, Seq("node"), "left_anti").localCheckpoint()
+      activeEdges = activeEdges
+        .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      activeCount = active.count()
+    }
+    settled
+  }
+}

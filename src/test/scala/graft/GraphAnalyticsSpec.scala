@@ -886,6 +886,93 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got === Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
   }
 
+  /** Independent single-threaded SCC reference: Kosaraju (forward DFS
+    * finish order, then reverse-graph DFS), scc_id = min member id. */
+  private def kosarajuScc(edges: Seq[(String, String)]): Map[String, String] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val bwd = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    def dfs1(u: String): Unit = {
+      seen += u
+      fwd.getOrElse(u, Nil).foreach(v => if (!seen(v)) dfs1(v))
+      order += u
+    }
+    nodes.foreach(n => if (!seen(n)) dfs1(n))
+    seen.clear()
+    val comp = scala.collection.mutable.Map.empty[String, List[String]]
+    def dfs2(u: String, root: String): Unit = {
+      seen += u
+      comp(root) = u :: comp.getOrElse(root, Nil)
+      bwd.getOrElse(u, Nil).foreach(v => if (!seen(v)) dfs2(v, root))
+    }
+    order.reverse.foreach(n => if (!seen(n)) dfs2(n, n))
+    comp.values.flatMap { members =>
+      val id = members.min
+      members.map(_ -> id)
+    }.toMap
+  }
+
+  private def runScc(edges: Seq[(String, String)]): Map[String, String] =
+    graft.kg.Scc
+      .run(spark, edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+
+  test("SCC: two 3-cycles joined one-way, a DAG tail, and a detached cycle") {
+    val edges = Seq(
+      // 3-cycle {A,B,C} -> one-way bridge -> 3-cycle {D,E,F}
+      ("A", "B"), ("B", "C"), ("C", "A"),
+      ("C", "D"),
+      ("D", "E"), ("E", "F"), ("F", "D"),
+      // DAG tail: F -> G -> H (singletons)
+      ("F", "G"), ("G", "H"),
+      // detached 2-cycle
+      ("X", "Y"), ("Y", "X")
+    )
+    val got = runScc(edges)
+    assert(got === kosarajuScc(edges))
+    assert(got("A") === "A" && got("B") === "A" && got("C") === "A")
+    assert(got("D") === "D" && got("F") === "D")
+    assert(got("G") === "G" && got("H") === "H")
+    assert(got("X") === "X" && got("Y") === "X")
+  }
+
+  test("SCC: a pure DAG is all singletons; one big cycle is one component") {
+    val dag = Seq(("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"))
+    assert(runScc(dag) === Map("A" -> "A", "B" -> "B", "C" -> "C", "D" -> "D"))
+    val cyc = (0 until 6).map(i => (s"N$i", s"N${(i + 1) % 6}"))
+    assert(runScc(cyc) === (0 until 6).map(i => s"N$i" -> "N0").toMap)
+  }
+
+  test("SCC: matches Kosaraju on a pseudo-random digraph") {
+    // deterministic hash-derived digraph: cyclic enough to have real SCCs
+    val n = 24
+    val edges = (for {
+      i <- 0 until n
+      j <- 0 until n
+      if i != j
+      h = ((i * 31 + j) * 2654435761L) & 0xffffffffL
+      if h % 7 == 0
+    } yield (f"V$i%02d", f"V$j%02d")).toSeq
+    assert(edges.nonEmpty)
+    assert(runScc(edges) === kosarajuScc(edges))
+  }
+
+  test("implication digraph: edges point rarer -> frequent; ties are mutual") {
+    val pairs = Seq(("Q1", "Q2"), ("Q2", "Q3")).toDF("concept_a", "concept_b")
+    val marginals = Seq(("Q1", 5L), ("Q2", 9L), ("Q3", 9L)).toDF("concept_id", "n")
+    val got = graft.kg.Scc
+      .implicationDigraph(pairs, marginals)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    // Q1(5) -> Q2(9); Q2(9) == Q3(9) -> both directions
+    assert(got === Set(("Q1", "Q2"), ("Q2", "Q3"), ("Q3", "Q2")))
+  }
+
   test("diameter summary: max/min eccentricity over a path") {
     val path = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")).toDF("concept_a", "concept_b")
     val row = graft.kg.GraphStats
