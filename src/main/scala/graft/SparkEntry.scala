@@ -354,6 +354,23 @@ object SparkEntry {
         s,
         graft.kg.Scc.implicationDigraph(strongBackbone(s, dir), marginals))
     }),
+    // condensation DAG of the implication digraph: mutually-implicative
+    // clusters rolled up, edges = the specific-to-general hierarchy
+    "kg_condensation" -> ((s, dir) => {
+      val marginals = mentions(s, dir)
+        .select("conv_id", "concept_id")
+        .distinct()
+        .groupBy("concept_id")
+        .agg(count(lit(1)).as("n"))
+      graft.kg.Scc.condensation(
+        s,
+        graft.kg.Scc.implicationDigraph(strongBackbone(s, dir), marginals))
+    }),
+    // pivot-sampled betweenness (Brandes-Pich 2007): the documented
+    // past-10^5-nodes scale move, exercised and oracle-checked — sources
+    // are the 6 hash-min pivots, deterministic in both engines
+    "kg_betweenness_pivot" -> ((s, dir) =>
+      graft.kg.Centrality.betweenness(strongBackbone(s, dir), maxHops = 4, pivots = 6)),
     "kg_canonical" -> ((s, dir) => KgPipeline.canonicalEntities(s)),
     // incremental CC: ~25% of dictionary edges folded into the base
     // assignment; oracle = the FULL component computation (equality with a
@@ -1424,6 +1441,8 @@ object SparkEntry {
     "kg_rectangles" -> OracleGen.rectanglesSql(10000L),
     "kg_diameter" -> OracleGen.diameterSql(6),
     "kg_scc" -> OracleGen.sccSql,
+    "kg_condensation" -> OracleGen.condensationSql,
+    "kg_betweenness_pivot" -> OracleGen.betweennessSql(4, 6),
     "kg_canonical" -> OracleGen.canonicalSql,
     "kg_canonical_incr" -> OracleGen.canonicalSql,
     "kg_multi_classifier" -> OracleGen.multiClassifierSql,

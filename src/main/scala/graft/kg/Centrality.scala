@@ -136,14 +136,24 @@ object Centrality {
     * between adjacent (localCheckpointed) levels. Hop-bounding is the
     * published large-graph practice (k-bounded betweenness); past ~10^5
     * dictionary nodes the standard next move is source sampling — the loop
-    * body is unchanged, only the seed relation shrinks. */
-  def betweenness(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    * body is unchanged, only the seed relation shrinks. `pivots > 0`
+    * enacts exactly that move (Brandes & Pich 2007): sources are the k
+    * nodes with the smallest md5(node) — a deterministic uniform-without-
+    * replacement pivot set both engines reproduce bit-for-bit, so even the
+    * SAMPLED scores are oracle-checkable (the published estimator
+    * extrapolates by n/k; the raw per-pivot sums are emitted so the
+    * consumer's scaling never floors away exactness). Level relations
+    * shrink from (nodes × frontier) to (k × frontier). */
+  def betweenness(edges: DataFrame, maxHops: Int = 4, pivots: Int = 0): DataFrame = {
     val sym = symmetrize(edges)
     val nodes = sym.select(col("src").as("node")).distinct()
+    val sources =
+      if (pivots > 0) nodes.orderBy(md5(col("node")), col("node")).limit(pivots)
+      else nodes
 
     // forward: levels(t) = (s, v, sigma), nodes first reached at hop t
     val levels = scala.collection.mutable.ArrayBuffer(
-      nodes.select(col("node").as("s"), col("node").as("v"), lit(1L).as("sigma")).localCheckpoint())
+      sources.select(col("node").as("s"), col("node").as("v"), lit(1L).as("sigma")).localCheckpoint())
     var seen = levels(0).select("s", "v")
     for (_ <- 1 to maxHops) {
       val prev = levels.last

@@ -477,7 +477,7 @@ object OracleGen {
     * division — mirrors [[Centrality.betweenness]] bit-for-bit. Every CTE
     * is MATERIALIZED ([[hitsSql]]'s inlining-blowup lesson: the seen chain
     * references each level twice). */
-  def betweennessSql(maxHops: Int): String = {
+  def betweennessSql(maxHops: Int, pivots: Int = 0): String = {
     val sc = Centrality.Scale
     val fwd = (1 to maxHops)
       .map { t =>
@@ -518,7 +518,11 @@ object OracleGen {
        |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
        |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
-       |l0 AS MATERIALIZED (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma FROM nodes),
+       |piv AS MATERIALIZED (${
+      if (pivots > 0) s"SELECT node FROM nodes ORDER BY md5(node), node LIMIT $pivots"
+      else "SELECT node FROM nodes"
+    }),
+       |l0 AS MATERIALIZED (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma FROM piv),
        |seen0 AS MATERIALIZED (SELECT s, v FROM l0),
        |$fwd,
        |d$maxHops AS MATERIALIZED (SELECT s, v, sigma, CAST(0 AS BIGINT) AS delta FROM l$maxHops),
@@ -986,7 +990,7 @@ object OracleGen {
     * closure + MUTUAL-pair self-join + MIN rollup — scc_id(v) = min w with
     * v →* w and w →* v (v itself included via the zero-length base rows).
     * Independent of the engine's forward-backward coloring rounds. */
-  val sccSql: String =
+  private def sccPrefix: String =
     s"""WITH RECURSIVE $transcriptsCte,
        |$turnsCte,
        |per_turn AS (
@@ -1014,8 +1018,21 @@ object OracleGen {
        |  SELECT r.s, e.dst FROM reach r JOIN dig e ON e.src = r.v
        |),
        |mutual AS (
-       |  SELECT a.s AS v, a.v AS w FROM reach a JOIN reach b ON b.s = a.v AND b.v = a.s)
-       |SELECT v AS node, MIN(w) AS scc_id FROM mutual GROUP BY 1""".stripMargin
+       |  SELECT a.s AS v, a.v AS w FROM reach a JOIN reach b ON b.s = a.v AND b.v = a.s),
+       |scc AS (SELECT v AS node, MIN(w) AS scc_id FROM mutual GROUP BY 1)""".stripMargin
+
+  val sccSql: String =
+    s"""$sccPrefix
+       |SELECT node, scc_id FROM scc""".stripMargin
+
+  /** Condensation oracle: the SCC closure's component assignment projected
+    * onto the digraph's edges — distinct cross-component (scc_src, scc_dst)
+    * pairs, mirroring [[Scc.condensation]]. */
+  val condensationSql: String =
+    s"""$sccPrefix
+       |SELECT DISTINCT sa.scc_id AS scc_src, sb.scc_id AS scc_dst
+       |FROM dig e JOIN scc sa ON sa.node = e.src JOIN scc sb ON sb.node = e.dst
+       |WHERE sa.scc_id <> sb.scc_id""".stripMargin
 
   /** Diameter/radius oracle: the 1-row MAX/MIN/COUNT rollup over the
     * hop-bounded eccentricity oracle (same CTE chain, different tail). */

@@ -62,6 +62,22 @@ object Scc {
     ab.union(ba)
   }
 
+  /** Condensation of the digraph: the DAG whose nodes are the SCCs —
+    * one row per distinct (scc_src, scc_dst) pair with an edge between
+    * members of different components. Over the implication digraph this
+    * is the specific-to-general concept hierarchy the cycle clusters roll
+    * up into. Cost on top of [[run]]: two dictionary-grain joins + one
+    * distinct. */
+  def condensation(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val scc = run(spark, edges)
+    edges
+      .join(scc.select(col("node").as("src"), col("scc_id").as("scc_src")), Seq("src"))
+      .join(scc.select(col("node").as("dst"), col("scc_id").as("scc_dst")), Seq("dst"))
+      .where(col("scc_src") =!= col("scc_dst"))
+      .select("scc_src", "scc_dst")
+      .distinct()
+  }
+
   /** @param edges directed edges (src, dst); self-loops ignored.
     * @return (node, scc_id) for every node appearing in `edges`,
     *         scc_id = min node id of the component. */

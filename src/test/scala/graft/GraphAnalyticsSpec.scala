@@ -741,13 +741,19 @@ class GraphAnalyticsSpec extends AnyFunSuite {
 
   /** Single-threaded Brandes with the SAME hop bound and fixed-point
     * per-edge floor division — independent formulation (mutable maps, depth
-    * recursion by level) of the recurrence the engine runs as joins. */
-  private def referenceBetweenness(edges: Seq[(String, String)], maxHops: Int): Map[String, Long] = {
+    * recursion by level) of the recurrence the engine runs as joins.
+    * `sources` restricts the seed set (None = all nodes), mirroring the
+    * engine's pivot sampling. */
+  private def referenceBetweenness(
+      edges: Seq[(String, String)],
+      maxHops: Int,
+      sources: Option[Set[String]] = None): Map[String, Long] = {
     val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
     val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     val nodes = sym.map(_._1).distinct
+    val seeds = sources.fold(nodes)(s => nodes.filter(s))
     val bc = scala.collection.mutable.Map[String, Long](nodes.map(_ -> 0L): _*)
-    var levels = Vector(nodes.map(n => (n, n) -> 1L).toMap)
+    var levels = Vector(seeds.map(n => (n, n) -> 1L).toMap)
     var seen: Set[(String, String)] = levels(0).keySet
     for (_ <- 1 to maxHops) {
       val next = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -959,6 +965,44 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     } yield (f"V$i%02d", f"V$j%02d")).toSeq
     assert(edges.nonEmpty)
     assert(runScc(edges) === kosarajuScc(edges))
+  }
+
+  test("pivot-sampled betweenness: all-pivots equals exact; k pivots match the restricted reference") {
+    val es = (for (i <- 0 until 12; j <- (i + 1) until 12 if (i * 7 + j * 13) % 5 == 0)
+      yield (f"P$i%02d", f"P$j%02d")).toSeq
+    def run(pivots: Int) = graft.kg.Centrality
+      .betweenness(es.map { case (a, b) => (a, b, 1L) }.toDF("concept_a", "concept_b", "n_convs"),
+        maxHops = 4, pivots = pivots)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // enough pivots to cover every node: the sample IS the population
+    assert(run(1000) === referenceBetweenness(es, 4))
+    // k = 4: the hash-min pivot set is deterministic — recompute it here
+    // with the same md5 rule and hand the reference the same sources
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val piv = nodes.sortBy(n => (md5hex(n), n)).take(4).toSet
+    assert(run(4) === referenceBetweenness(es, 4, Some(piv)))
+  }
+
+  test("condensation: two bridged cycles collapse to one DAG edge") {
+    val edges = Seq(
+      ("A", "B"), ("B", "C"), ("C", "A"), // SCC {A,B,C}
+      ("C", "D"), // bridge
+      ("D", "E"), ("E", "F"), ("F", "D") // SCC {D,E,F}
+    )
+    val got = graft.kg.Scc
+      .condensation(spark, edges.toDF("src", "dst"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(got === Set(("A", "D")))
+    // a pure cycle condenses to zero edges
+    val cyc = Seq(("X", "Y"), ("Y", "Z"), ("Z", "X"))
+    assert(graft.kg.Scc.condensation(spark, cyc.toDF("src", "dst")).count() === 0L)
   }
 
   test("implication digraph: edges point rarer -> frequent; ties are mutual") {
