@@ -132,6 +132,26 @@ object SparkEntry {
     cachedArtifact(codebooks, s, dir, "embeddings")(
       Similarity.ivfCentroids(emb(s, dir)))
 
+  /** Trend relation (concept_id, day_num, n_mentions) shared by kg_trends
+    * and kg_bursts. The one fact⋈fact join in the family; both sides
+    * hash-partition on conv_id. At 100 TB the cheaper shape is carrying ts
+    * through extraction so the day lands in the mention row itself — kept
+    * as a join so the cached mention layer stays ts-agnostic for every
+    * other consumer. */
+  private def trendRelation(s: SparkSession, dir: String): DataFrame = {
+    val turnsTs = KgPipeline
+      .eligibleTurns(Transcripts.read(s, dir))
+      .select(
+        col("conv_id"),
+        col("turn_idx").cast("int").as("turn_idx"),
+        expr("unix_timestamp(ts) div 86400").as("day_num"))
+    mentions(s, dir)
+      .select("conv_id", "turn_idx", "concept_id")
+      .join(turnsTs, Seq("conv_id", "turn_idx"))
+      .groupBy("concept_id", "day_num")
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
   /** Build every shared session artifact (mention layer, co-occurrence
     * edges, MinHash signature index, IVF codebook) in one place. The bench
     * warms these OUTSIDE its timed per-query loop and reports the build as
@@ -254,23 +274,11 @@ object SparkEntry {
     // concept mention trends: span counts per (concept, UTC day) — the
     // "trending entities" timeline over the corpus timestamps (epoch-day
     // integers, tz-free, so the oracle hash-compares exactly)
-    "kg_trends" -> ((s, dir) => {
-      val turnsTs = KgPipeline
-        .eligibleTurns(Transcripts.read(s, dir))
-        .select(
-          col("conv_id"),
-          col("turn_idx").cast("int").as("turn_idx"),
-          expr("unix_timestamp(ts) div 86400").as("day_num"))
-      // the one fact⋈fact join here; both sides hash-partition on conv_id.
-      // At 100 TB the cheaper shape is carrying ts through extraction so the
-      // day lands in the mention row itself — kept as a join so the cached
-      // mention layer stays ts-agnostic for every other consumer.
-      mentions(s, dir)
-        .select("conv_id", "turn_idx", "concept_id")
-        .join(turnsTs, Seq("conv_id", "turn_idx"))
-        .groupBy("concept_id", "day_num")
-        .agg(count(lit(1)).as("n_mentions"))
-    }),
+    "kg_trends" -> ((s, dir) => trendRelation(s, dir)),
+    // burst days per concept: calendar-RANGE trailing window over the
+    // trend relation, all-integer predicate (n·7 > 2·trail_sum)
+    "kg_bursts" -> ((s, dir) =>
+      KgPipeline.burstDays(trendRelation(s, dir), window = 7, factor = 2)),
     // per-node triangle counts (local clustering): degree-ordered edge
     // orientation; oracle uses the naive a<b<c self-join formulation
     "kg_triangles" -> ((s, dir) =>
@@ -1428,6 +1436,7 @@ object SparkEntry {
     "kg_node2vec" -> OracleGen.node2vecSql(2, 4, 1L, 1L, 2L),
     "kg_negatives" -> OracleGen.negativesSql,
     "kg_trends" -> OracleGen.trendsSql,
+    "kg_bursts" -> OracleGen.burstsSql(7, 2),
     "kg_triangles" -> OracleGen.trianglesSql,
     "kg_link_predict" -> OracleGen.linkPredictionSql(20),
     "kg_link_predict_ra" -> OracleGen.linkPredictionRaSql(20),

@@ -373,6 +373,32 @@ object KgPipeline {
     docNodes.union(passageNodes).union(conceptNodes)
   }
 
+  /** Burst detection over the trend relation (concept_id, day_num,
+    * n_mentions) — the "is this concept suddenly hot" temporal analytic: a
+    * day bursts when its mention count exceeds `factor`× the trailing
+    * `window`-day DAILY average, i.e. n·window > factor·trail_sum with
+    * trail_sum the CALENDAR-range trailing sum (RANGE frame on the integer
+    * day, excluding today — a ROWS frame would silently skip gap days and
+    * inflate the baseline of sparse concepts). All-integer, so the oracle
+    * hash-compares exactly; an empty trailing window coalesces to 0 — a
+    * concept's FIRST active day flags as a burst by construction (it is
+    * one: the rate rose from nothing).
+    *
+    * Scale posture: the window partitions BY CONCEPT over day-grain rows —
+    * dictionary × corpus-days, never corpus-grain; no global sort, and a
+    * hot concept's partition is bounded by the calendar, not the corpus. */
+  def burstDays(trends: DataFrame, window: Int = 7, factor: Int = 2): DataFrame = {
+    val w = Window
+      .partitionBy("concept_id")
+      .orderBy("day_num")
+      .rangeBetween(-window, -1)
+    trends
+      .withColumn("trail_sum", coalesce(sum(col("n_mentions")).over(w), lit(0L)))
+      .withColumn(
+        "is_burst",
+        (col("n_mentions") * window > col("trail_sum") * factor).cast("int"))
+  }
+
   /** Concept co-occurrence: unordered concept pairs mentioned within the same
     * conversation, weighted by conversation count — the corpus-level graph
     * signal used for canonicalization and skew analysis. */

@@ -572,6 +572,31 @@ object OracleGen {
        |WHERE p.n_mentions > 0
        |GROUP BY 1, 2""".stripMargin
 
+  /** Burst-detection oracle: the trends aggregation + the SAME calendar
+    * RANGE window (trailing `window` days, excluding today) and the same
+    * all-integer burst predicate as [[KgPipeline.burstDays]]. */
+  def burstsSql(window: Int, factor: Int): String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |trends AS (
+       |  SELECT p.concept_id, t.ts_epoch // 86400 AS day_num,
+       |         CAST(SUM(p.n_mentions) AS BIGINT) AS n_mentions
+       |  FROM per_turn p JOIN turns t ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+       |  WHERE p.n_mentions > 0
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT concept_id, day_num, n_mentions,
+       |         CAST(COALESCE(SUM(n_mentions) OVER (
+       |           PARTITION BY concept_id ORDER BY day_num
+       |           RANGE BETWEEN $window PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum
+       |  FROM trends)
+       |SELECT concept_id, day_num, n_mentions, trail_sum,
+       |       CAST(CASE WHEN n_mentions * $window > $factor * trail_sum THEN 1 ELSE 0 END AS INT) AS is_burst
+       |FROM w""".stripMargin
+
   /** Modularity oracle: the label-propagation CTE chain (same recurrence as
     * [[communitiesSql]]) to derive the assignment, then the exact integer
     * sufficient statistics and the SAME nested floor-division q_ppm as

@@ -1017,6 +1017,33 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got === Set(("Q1", "Q2"), ("Q2", "Q3"), ("Q3", "Q2")))
   }
 
+  test("burst days: calendar RANGE window (gap days count), first day bursts, flat tail doesn't") {
+    // Q1: days 1..3 flat at 10, then a 30 spike on day 10 (trailing window
+    // days 3..9 holds only day-3's 10 -> 30*7 > 2*10: burst). Day 11 at 10:
+    // trail = {10: 30} (days 4..10) -> 10*7 > 2*30: burst (rate still above
+    // 2x the sparse baseline); day 12 at 10: trail = {30,10} = 40 -> 70 <=
+    // 80: no burst. A ROWS frame would have kept all of days 1..3 in the
+    // day-10 baseline and missed the spike semantics.
+    val trends = Seq(
+      ("Q1", 1L, 10L), ("Q1", 2L, 10L), ("Q1", 3L, 10L),
+      ("Q1", 10L, 30L), ("Q1", 11L, 10L), ("Q1", 12L, 10L)
+    ).toDF("concept_id", "day_num", "n_mentions")
+    val got = graft.kg.KgPipeline
+      .burstDays(trends, window = 7, factor = 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(
+      got === Set(
+        (1L, 0L, 1),   // first active day: empty trail -> burst by construction
+        (2L, 10L, 1),  // 10*7 > 2*10
+        (3L, 20L, 1),  // 70 > 40
+        (10L, 10L, 1), // spike vs the one surviving trail day
+        (11L, 30L, 1), // 70 > 60
+        (12L, 40L, 0)  // 70 <= 80: settled
+      ))
+  }
+
   test("diameter summary: max/min eccentricity over a path") {
     val path = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")).toDF("concept_a", "concept_b")
     val row = graft.kg.GraphStats
