@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *                 corpus is exactly nodes·(len+1) rows. Proves the
   *                 classify-join + per-walk cumulative-window pick at a
   *                 millions-of-walks frontier.
+  *   - scc:        forward-backward coloring over 500k planted directed
+  *                 4-cycles in a 3-layer one-way bridge DAG (2M nodes).
+  *                 Truth: every SCC is exactly one planted cycle and the
+  *                 condensation is exactly one edge per bridge — and the
+  *                 layering forces MULTIPLE peel rounds, so the outer loop
+  *                 (not just one coloring pass) is what's measured.
   *
   * Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_GRAPH_SCALE (1.0 — multiplies
   * every size knob; 0.1 for a smoke run).
@@ -246,8 +252,59 @@ object GraphBench {
     require(topBc.getString(0) == "S", s"the centre must top betweenness: got ${topBc.getString(0)}")
     val bcNodes = bc.count()
 
+    // ---- SCC: planted directed 4-cycles under a 3-layer bridge DAG -------
+    // 500k disjoint directed 4-cycles (nodes 4c..4c+3, edges i → i+1 mod 4)
+    // in three layers; cycle c bridges one-way to cycle c + nCyc/3 (layers
+    // 0→1→2). Truth is fully provable: every SCC is exactly one planted
+    // cycle (4 members, one cycle index), component count == nCyc, and the
+    // condensation has exactly one DAG edge per bridge. The layered chain
+    // forces the forward-backward peel to run MULTIPLE outer rounds (an
+    // upstream cycle's min label colors its whole downstream chain, so only
+    // the chain-head SCC settles per round) — the peel loop itself is what
+    // this leg proves at 2M nodes / 2.3M edges, not just one coloring pass.
+    val nCyc = (500000 * scale).toLong.max(3000L)
+    val third = nCyc / 3
+    val cyc4 = spark
+      .range(nCyc * 4)
+      .select(
+        col("id").cast("string").as("src"),
+        ((col("id") - col("id") % 4) + (col("id") + 1) % 4).cast("string").as("dst"))
+    val bridges = spark
+      .range(third * 2)
+      .select(
+        (col("id") * 4).cast("string").as("src"),
+        ((col("id") + third) * 4).cast("string").as("dst"))
+    val (scc, sccSec) = Bench.time {
+      val r = graft.kg.Scc.run(spark, cyc4.union(bridges))
+      r.count(); r
+    }
+    val sccStats = scc
+      .groupBy("scc_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(expr("cast(node as long) div 4")).as("n_cycles"))
+      .agg(
+        count(lit(1)),
+        min(col("n_members")),
+        max(col("n_members")),
+        max(col("n_cycles")))
+      .collect()(0)
+    require(sccStats.getLong(0) == nCyc, s"component count: ${sccStats.getLong(0)} vs $nCyc")
+    require(
+      sccStats.getLong(1) == 4L && sccStats.getLong(2) == 4L,
+      s"every SCC must be one 4-cycle: sizes [${sccStats.getLong(1)}, ${sccStats.getLong(2)}]")
+    require(sccStats.getLong(3) == 1L, "an SCC must never span two planted cycles")
+    val (cond, condSec) = Bench.time {
+      val r = graft.kg.Scc.condensation(spark, cyc4.union(bridges))
+      r.count(); r
+    }
+    val condEdges = cond.count()
+    require(condEdges == third * 2, s"condensation must be one edge per bridge: $condEdges vs ${third * 2}")
+    val sccNodes = nCyc * 4
+    val sccEdges = nCyc * 4 + third * 2
+
     println(
-      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true},"ktruss":{"n_edges":$trussEdgesN,"k":6,"sec":$trussSec%.3f,"edges_per_sec":${trussEdgesN / trussSec}%.1f,"exact_cliques":true},"node2vec":{"n_walks":$nvWalkNodes,"len":$nvLen,"corpus_rows":$nvRows,"sec":$nvSec%.3f,"walk_steps_per_sec":${nvRows / nvSec}%.1f,"full_length":true}}""")
+      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true},"ktruss":{"n_edges":$trussEdgesN,"k":6,"sec":$trussSec%.3f,"edges_per_sec":${trussEdgesN / trussSec}%.1f,"exact_cliques":true},"node2vec":{"n_walks":$nvWalkNodes,"len":$nvLen,"corpus_rows":$nvRows,"sec":$nvSec%.3f,"walk_steps_per_sec":${nvRows / nvSec}%.1f,"full_length":true},"scc":{"n_nodes":$sccNodes,"n_edges":$sccEdges,"sec":$sccSec%.3f,"nodes_per_sec":${sccNodes / sccSec}%.1f,"condensation_sec":$condSec%.3f,"planted_exact":true}}""")
     spark.stop()
   }
 }

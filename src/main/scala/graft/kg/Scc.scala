@@ -87,6 +87,25 @@ object Scc {
       maxOuterRounds: Int = 50,
       maxInnerRounds: Int = 200
   ): DataFrame = {
+    // Spark 4.1's UnionBase.rewriteConstraints throws NoSuchElementException
+    // ("key not found: node#N") when a union child is a projected join whose
+    // inherited constraints mention pruned attributes — exactly the
+    // frontier-union shape every round here builds. Constraint propagation
+    // buys nothing in these equi-join loops (no derivable filters), so it is
+    // disabled for the duration of the run and restored after.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.get(cpKey, "true")
+    spark.conf.set(cpKey, "false")
+    try runInner(spark, edges, maxOuterRounds, maxInnerRounds)
+    finally spark.conf.set(cpKey, cpPrev)
+  }
+
+  private def runInner(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxOuterRounds: Int,
+      maxInnerRounds: Int
+  ): DataFrame = {
     import spark.implicits._
     val e0 = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
