@@ -132,6 +132,14 @@ object SparkEntry {
     cachedArtifact(codebooks, s, dir, "embeddings")(
       Similarity.ivfCentroids(emb(s, dir)))
 
+  /** SQ8 per-dimension scale vector — the int8 quantizer's whole model
+    * state (d numbers), an ingest-time artifact like the IVF codebook. */
+  private val sq8Cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[Double]]
+  private def sq8Scales(s: SparkSession, dir: String): Seq[Double] =
+    cachedArtifact(sq8Cache, s, dir, "embeddings")(
+      Similarity.sq8Scales(emb(s, dir)))
+
   /** Trend relation (concept_id, day_num, n_mentions) shared by kg_trends
     * and kg_bursts. The one fact⋈fact join in the family; both sides
     * hash-partition on conv_id. At 100 TB the cheaper shape is carrying ts
@@ -163,6 +171,7 @@ object SparkEntry {
     coEdges(s, dir)
     minhashSigs(s, dir)
     ivfCodebook(s, dir)
+    sq8Scales(s, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -303,6 +312,8 @@ object SparkEntry {
     // refinement stays oracle-checkable where Adamic-Adar's log can't be
     "kg_link_predict_ra" -> ((s, dir) =>
       graft.kg.Triangles.linkPredictionRA(strongBackbone(s, dir), k = 20)),
+    "kg_link_predict_jaccard" -> ((s, dir) =>
+      graft.kg.Triangles.linkPredictionJaccard(strongBackbone(s, dir), k = 20)),
     // bounded-depth BFS (graph traversal): min-hop distance from concept
     // Q15 over the canonicalization edge universe, frontier-expansion loop
     "kg_khop" -> ((s, dir) => KgPipeline.kHopNeighborhood(s, seed = "Q15", maxHops = 3)),
@@ -580,6 +591,12 @@ object SparkEntry {
         emb(s, dir), nQueries = 50, k = 10,
         preAssigned = Some(assigned), preCents = Some(cb))
     }),
+    // int8 scalar-quantized brute force: the compressed-index tier (1
+    // byte/dim). Scales are the session-cached ingest artifact; the ranking
+    // is exact integer dots, so the row is hash-oracled, and recall vs the
+    // float ranking is measured in the spec.
+    "sim_topk_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(emb(s, dir), sq8Scales(s, dir), nQueries = 50, k = 10)),
     // ---- text analysis ------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -697,6 +714,20 @@ object SparkEntry {
         .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
       graft.data.Sketches.kmvBottomK(
         d, k = 256, distinctEstimate = Some(graft.data.Sketches.hllEstimate(regs, 256)))
+    }),
+    // set-operation estimates between the even- and odd-doc SHINGLE
+    // vocabularies (16.5k+ distinct 3-grams — the word vocab's 31 tokens
+    // would leave the estimator branch untested) from their bottom-k
+    // sketches alone: union size, Jaccard, intersection, never joining
+    // the corpora
+    "sketch_kmv_ops" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def sh(side: DataFrame) =
+        side.select(explode(graft.data.Dedup.shingles("text")).as("tok"))
+      graft.data.Sketches.kmvSetOps(
+        sh(d.where(col("doc_id") % 2 === 0)),
+        sh(d.where(col("doc_id") % 2 === 1)),
+        k = 256)
     }),
     // incremental twin: bottom-k of the two part-sketches' union must equal
     // the from-scratch full-corpus bottom-k (each part's k smallest contain
@@ -1440,6 +1471,7 @@ object SparkEntry {
     "kg_triangles" -> OracleGen.trianglesSql,
     "kg_link_predict" -> OracleGen.linkPredictionSql(20),
     "kg_link_predict_ra" -> OracleGen.linkPredictionRaSql(20),
+    "kg_link_predict_jaccard" -> OracleGen.linkPredictionJaccardSql(20),
     "kg_khop" -> OracleGen.kHopSql("Q15", 3),
     "kg_communities" -> OracleGen.communitiesSql(4),
     "kg_clustering" -> OracleGen.clusteringSql,
@@ -1519,6 +1551,29 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
         |  FROM sc) WHERE rank <= 10""".stripMargin,
+    // full SQ8 replication: same per-dim max-abs scales, same round-half-up
+    // floor(x*127/s + 0.5) (every op IEEE double, bit-identical across
+    // engines), same integer dots — quantized values are exact small
+    // integers, so double list_dot_product here equals the engine's long
+    // arithmetic exactly
+    "sim_topk_sq8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |dims AS (SELECT i, max(abs(x)) AS s FROM
+        |           (SELECT generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v) GROUP BY i),
+        |qr AS (SELECT vec_id, i, CASE WHEN s = 0 THEN 0.0
+        |                              ELSE floor(x * 127.0 / s + 0.5) END AS q
+        |       FROM (SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v) r
+        |       JOIN dims USING (i)),
+        |qv AS (SELECT vec_id, list(q ORDER BY i) AS q FROM qr GROUP BY vec_id),
+        |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |             CASE WHEN a.nrm * b.nrm = 0 THEN -2.0
+        |                  ELSE list_dot_product(a.q, b.q) / (a.nrm * b.nrm) END AS score
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM s) WHERE rank <= 10""".stripMargin,
     // the IVF-blocked variant must reproduce the brute-force pair set exactly
     "dedup_embedding_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1807,6 +1862,34 @@ object SparkEntry {
         |h AS (SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
         |d AS (SELECT h, MIN(tok) AS tok FROM h GROUP BY 1)
         |SELECT h, tok FROM d ORDER BY h LIMIT 256""".stripMargin,
+    // full KMV set-op replication over the 3-shingle universes: same md5
+    // hash, same bottom-k cuts, same merged-membership aggregate, same one
+    // floored IEEE division for the union estimator ((k−1)·2^60 exact in
+    // double; int64→double rounding of h_k identical across engines)
+    "sketch_kmv_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |u AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok FROM t),
+        |sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+        |       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |                JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |sa AS (SELECT DISTINCT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |       FROM sh WHERE doc_id % 2 = 0 ORDER BY h LIMIT 256),
+        |sb AS (SELECT DISTINCT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |       FROM sh WHERE doc_id % 2 = 1 ORDER BY h LIMIT 256),
+        |m AS (SELECT coalesce(sa.h, sb.h) AS h,
+        |             CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |             CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |      FROM sa FULL JOIN sb ON sa.h = sb.h),
+        |mk AS (SELECT h, in_a, in_b FROM m ORDER BY h LIMIT 256),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_eff, max(h) AS h_max,
+        |               CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM mk),
+        |est AS (SELECT k_eff, n_both,
+        |               CASE WHEN k_eff < 256 THEN k_eff
+        |                    ELSE CAST(floor(255.0 * 1152921504606846976.0 / CAST(h_max AS DOUBLE)) AS BIGINT) END AS union_est,
+        |               (1000000 * n_both) // k_eff AS jaccard_ppm
+        |        FROM agg)
+        |SELECT k_eff, n_both, union_est, jaccard_ppm,
+        |       (n_both * union_est) // k_eff AS intersect_est FROM est""".stripMargin,
     // the part-sketch union + bottom-k must equal the from-scratch bottom-k
     "sketch_kmv_incr" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

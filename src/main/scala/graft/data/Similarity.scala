@@ -566,4 +566,100 @@ object Similarity {
       .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("d").isNull.cast("int").as("kept"))
   }
+
+  // ---- SQ8: int8 scalar quantization ---------------------------------------
+
+  /** Per-dimension symmetric SQ8 scale vector: s_d = max over the corpus of
+    * |x_d|. This is the quantizer's entire model state — d numbers — so like
+    * the IVF codebook it is a driver artifact embedded as a plan literal.
+    *
+    * Computed as posexplode → groupBy(pos) max: max is an algebraic
+    * aggregate, so map-side partial aggregation collapses each input
+    * partition to d rows before the shuffle — the exchange carries
+    * O(partitions × dim), never O(corpus × dim), at any corpus size.
+    * Reference seam: the embedding cache build in
+    * knowledge_graph/classifier/embedding.py:173-240 (one corpus pass
+    * producing a reusable inference artifact). */
+  def sq8Scales(emb: DataFrame): Seq[Double] = {
+    emb
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(max(abs(col("x"))).as("s"))
+      .orderBy("pos")
+      .collect()
+      .map(_.getDouble(1))
+      .toSeq
+  }
+
+  /** Quantize a double vector to int8 range with round-half-up:
+    * q_d = floor(x_d · 127 / s_d + 0.5), q_d ∈ [−127, 127]. A dead
+    * dimension (s_d = 0 ⇒ x_d = 0 corpus-wide) quantizes to 0 explicitly so
+    * the 0/0 never reaches the division. Every op is IEEE double
+    * (mul, div, add, floor) — bit-identical in Spark codegen and DuckDB,
+    * which the oracle relies on. Values are exact small integers, so all
+    * downstream dot products are EXACT integer arithmetic (order-free:
+    * no accumulation-order caveat at all). */
+  def sq8Quantize(v: Column, scales: Seq[Double]): Column =
+    zip_with(
+      v,
+      array(scales.map(lit(_)): _*),
+      (x, s) => when(s === 0.0, lit(0L)).otherwise(floor(x * lit(127.0) / s + lit(0.5))))
+
+  /** Exact long dot product of two quantized vectors. |q| ≤ 127 so a term
+    * is ≤ 16129 and a 64-dim dot ≤ ~1.03e6 — fifteen orders of headroom
+    * under Long. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Brute-force top-k cosine over the SQ8-quantized corpus — the memory
+    * tier below the float index: the persisted artifact is 1 byte/dim
+    * instead of 4 (plus one d-element scale vector), so a 100 TB float
+    * corpus scans as 25 TB, and the hot loop is integer multiply-adds
+    * (SIMD-friendly) instead of float ops. Ranking divides the exact
+    * integer dot by the quantized norms once per pair; recall vs the exact
+    * float ranking is measured in the spec and AnnBench (quantization is
+    * the only error source — there is no candidate pruning here, and the
+    * same quantized relation drops into the IVF probe path for the
+    * pruned+compressed combination).
+    *
+    * Plan shape = [[bruteForceTopK]]: corpus side never shuffles (queries
+    * broadcast), one window top-k per query. Output (query_id, rank,
+    * neighbor_id). */
+  def sq8TopK(
+      emb: DataFrame,
+      scales: Seq[Double],
+      nQueries: Int = 50,
+      k: Int = 10
+  ): DataFrame = {
+    val q8 = emb.select(
+      col("vec_id"),
+      sq8Quantize(asDouble(col("embedding")), scales).as("q"))
+    // norms hoisted per vector (sqrt of the exact integer self-dot)
+    val corpus = q8.select(
+      col("vec_id").as("neighbor_id"),
+      col("q").as("v"),
+      sqrt(dotQ(col("q"), col("q")).cast("double")).as("nrm"))
+    val queries = q8
+      .where(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("q").as("qv"),
+        sqrt(dotQ(col("q"), col("q")).cast("double")).as("qn"))
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        // an all-zero quantized vector has norm 0; pin its score below the
+        // cosine range instead of letting 0/0 = NaN reach the sort (NaN
+        // ordering differs subtly across engines)
+        when(col("qn") * col("nrm") === 0.0, lit(-2.0))
+          .otherwise(dotQ(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+          .as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
 }

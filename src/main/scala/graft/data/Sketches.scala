@@ -142,10 +142,15 @@ object Sketches {
     * vs the UNFILTERED oracle formulation) would catch any cut. The
     * representative token per hash is MIN(tok) so collisions (2^−60-rare)
     * stay deterministic. */
-  def kmvBottomK(docs: DataFrame, k: Int = 256, distinctEstimate: Option[Double] = None): DataFrame = {
+  def kmvBottomK(docs: DataFrame, k: Int = 256, distinctEstimate: Option[Double] = None): DataFrame =
+    kmvBottomKOf(docs.select(explode(split(col("text"), " ")).as("tok")), k, distinctEstimate)
+
+  /** [[kmvBottomK]] generalized to an arbitrary ELEMENT relation (one
+    * string column `tok`) — the sketched set need not be whitespace
+    * tokens: shingles, URLs, entity ids, any string universe. */
+  def kmvBottomKOf(elements: DataFrame, k: Int = 256, distinctEstimate: Option[Double] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val toks = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
+    val toks = elements
       .select(col("tok"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val filtered = distinctEstimate match {
       case Some(est) if est > 8.0 * k =>
@@ -218,5 +223,56 @@ object Sketches {
     require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
     val sorted = values.sorted
     sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+  }
+
+  /** KMV SET-OPERATION estimates between two element relations (each a
+    * single string column `tok` — see [[kmvBottomKOf]]) from their
+    * bottom-k sketches alone — the device that answers "how much
+    * vocabulary do sources A and B share?" at 100 TB without ever joining
+    * the corpora:
+    * each side ships k hashes, and union size, Jaccard, and intersection
+    * size all fall out of the merged sketch (Beyer et al., SIGMOD'07).
+    *
+    * Correctness of the membership test: the union's k-th smallest hash is
+    * ≤ each part's k-th smallest (union ⊇ part), so any union-bottom-k
+    * hash belonging to A is necessarily inside A's OWN bottom-k — the two
+    * part sketches decide membership exactly, no false negatives.
+    *
+    * One summary row, all BIGINT (the single IEEE division in the union
+    * estimator is floored to fixed point; every other stat is exact
+    * integer arithmetic):
+    *   k_eff        rows in the merged bottom-k (< k ⇔ union is exact)
+    *   n_both       merged-bottom-k hashes present in both sketches
+    *   union_est    (k−1)·2^60 / h_k floored (exact k_eff when k_eff < k)
+    *   jaccard_ppm  (10^6 · n_both) div k_eff
+    *   intersect_est (n_both · union_est) div k_eff */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    require(k > 1, s"k must be > 1: $k")
+    val sa = kmvBottomKOf(a, k).select(col("h"), lit(1L).as("in_a"))
+    val sb = kmvBottomKOf(b, k).select(col("h"), lit(1L).as("in_b"))
+    val merged = sa
+      .join(sb, Seq("h"), "full")
+      .select(
+        col("h"),
+        coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"))
+      .orderBy(col("h"))
+      .limit(k)
+    merged
+      .agg(
+        count(lit(1)).as("k_eff"),
+        max(col("h")).as("h_max"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(
+        col("k_eff"),
+        col("n_both"),
+        // (k−1)·2^60 is exact in double (small-int × power of two); the
+        // int64→double cast of h_max and the division round identically
+        // under IEEE in Spark and DuckDB, so the floored quotient matches
+        when(col("k_eff") < k, col("k_eff"))
+          .otherwise(floor(lit((k - 1).toDouble * math.pow(2, 60)) / col("h_max").cast("double")))
+          .as("union_est"),
+        expr("(1000000 * n_both) div k_eff").as("jaccard_ppm"))
+      .withColumn("intersect_est", expr("(n_both * union_est) div k_eff"))
   }
 }

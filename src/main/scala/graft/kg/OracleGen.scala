@@ -277,6 +277,38 @@ object OracleGen {
        |SELECT a AS concept_a, b AS concept_b, ra_q
        |FROM ne ORDER BY ra_q DESC, a, b LIMIT $k""".stripMargin
 
+  /** Neighborhood-Jaccard link-prediction oracle: the same backbone wedge
+    * join, scored (10^6 · common) // (deg_a + deg_b − common) — mirrors
+    * [[Triangles.linkPredictionJaccard]]'s exact fixed point. */
+  def linkPredictionJaccardSql(k: Int): String =
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT MAX(w) AS m FROM co0),
+       |co AS (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |und AS (SELECT ca AS u, cb AS v FROM co UNION ALL SELECT cb, ca FROM co),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+       |cn AS (
+       |  SELECT x.v AS a, y.v AS b, COUNT(*) AS n_common
+       |  FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT cn.a, cn.b,
+       |         CAST((1000000 * cn.n_common) // (da.deg + db.deg - cn.n_common) AS BIGINT) AS jac_ppm
+       |  FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b),
+       |ne AS (
+       |  SELECT jac.a, jac.b, jac.jac_ppm FROM jac
+       |  LEFT JOIN co e ON e.ca = jac.a AND e.cb = jac.b WHERE e.ca IS NULL)
+       |SELECT a AS concept_a, b AS concept_b, jac_ppm
+       |FROM ne ORDER BY jac_ppm DESC, a, b LIMIT $k""".stripMargin
+
   /** k-hop oracle: independent recursive-CTE walk (bounded by hops, so it
     * terminates despite cycles) with a min-hop rollup — cross-checks the
     * engine's frontier-expansion BFS. */

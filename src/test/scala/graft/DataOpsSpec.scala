@@ -196,6 +196,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7)
   }
 
+  test("SQ8 quantization: values in [-127,127], scales positive, recall vs float top-10 >= 0.75") {
+    val scales = Similarity.sq8Scales(emb)
+    assert(scales.size == 64 && scales.forall(_ > 0.0))
+    // every quantized component within the int8 envelope, and each dimension
+    // actually reaches +/-127 somewhere (the max-abs vector quantizes to the
+    // boundary by construction)
+    val q = emb
+      .select(Similarity.sq8Quantize(col("embedding").cast("array<double>"), scales).as("q"))
+      .select(explode(col("q")).as("x"))
+    assert(q.where(col("x") > 127 || col("x") < -127).count() == 0)
+    assert(q.where(abs(col("x")) === 127).count() >= 1)
+    val exact = Similarity
+      .bruteForceTopK(emb, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val sq = Similarity
+      .sq8TopK(emb, scales, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    info(s"SQ8 recall=$recall vs float brute force")
+    // the synthetic corpus is near-worst-case for quantized RANKING: iid
+    // gaussian embeddings put all 500 neighbors in a narrow cosine band, so
+    // the ~1/254-per-dim rounding perturbation reorders near-ties that real
+    // clustered embeddings separate by far more than the quantization noise
+    // (measured 0.81 here; production SQ8 recall@10 is typically >= 0.95)
+    assert(recall >= 0.75)
+  }
+
   test("incremental embedding dedup == exact pairs touching the batch (measured-recall corpus)") {
     val exact = {
       val n = emb.select($"vec_id", Similarity.norm($"embedding".cast("array<double>")).as("nrm"),
