@@ -244,6 +244,11 @@ object SparkEntry {
     // diameter/radius primitive (the consumer's max/min over this relation)
     "kg_eccentricity" -> ((s, dir) =>
       graft.kg.Centrality.eccentricity(strongBackbone(s, dir), maxHops = 6)),
+    // landmark distance oracle: BFS from the 4 smallest-md5 landmarks only,
+    // pair estimate = min_l d(u,l)+d(l,v) — the constant-time distance
+    // query past the all-pairs regime
+    "kg_landmark_dist" -> ((s, dir) =>
+      graft.kg.Centrality.landmarkDistances(strongBackbone(s, dir), landmarks = 4, maxHops = 6)),
     // exact Brandes betweenness (hop-bounded, fixed-point 10^6): which
     // concepts BROKER the backbone — the bridge-detection analytic that
     // degree/PageRank centralities miss
@@ -1460,6 +1465,7 @@ object SparkEntry {
     "kg_ppr" -> OracleGen.pprSql(5),
     "kg_closeness" -> OracleGen.harmonicSql(6),
     "kg_eccentricity" -> OracleGen.eccentricitySql(6),
+    "kg_landmark_dist" -> OracleGen.landmarkDistSql(4, 6),
     "kg_betweenness" -> OracleGen.betweennessSql(4),
     "kg_components" -> OracleGen.componentsSql,
     "kg_modularity" -> OracleGen.modularitySql(4),

@@ -55,8 +55,8 @@ object Centrality {
   /** All-pairs bounded-hop distances: one multi-source frontier relation
     * (s, v, hops) seeded with every node at distance 0 — N simultaneous BFS
     * runs sharing each round's single join + min partial-aggregate. */
-  private def bfsDistances(sym: DataFrame, maxHops: Int): DataFrame = {
-    val nodes = sym.select(col("src").as("node")).distinct()
+  private def bfsDistances(sym: DataFrame, maxHops: Int, seeds: Option[DataFrame] = None): DataFrame = {
+    val nodes = seeds.getOrElse(sym.select(col("src").as("node")).distinct())
     var dist = nodes.select(col("node").as("s"), col("node").as("v"), lit(0).as("hops"))
     for (r <- 1 to maxHops) {
       val relaxed = sym
@@ -102,6 +102,46 @@ object Centrality {
     val out = bfsDistances(sym, maxHops)
       .groupBy(col("s").as("concept_id"))
       .agg(max(col("hops")).as("ecc_hops"))
+      .localCheckpoint()
+    sym.unpersist(false)
+    out
+  }
+
+  /** Landmark distance oracle (Potamias et al., CIKM'09): BFS from only k
+    * LANDMARK nodes, then estimate every pair's distance as
+    *
+    *   est(u,v) = min over landmarks l of d(u,l) + d(l,v)
+    *
+    * — an upper bound by the triangle inequality, exact whenever some
+    * shortest u–v path passes a landmark. This is the standard constant-
+    * time distance oracle past the all-pairs regime: the traversal cost
+    * drops from nodes×graph to landmarks×graph (the same economics as
+    * pivot-sampled betweenness), the landmark-distance relation
+    * (landmarks × nodes) is the persisted artifact, and a single pair
+    * query is a k-element min over two of its rows. Landmarks are the k
+    * smallest-md5 nodes — the deterministic uniform pivot coin both
+    * engines reproduce, so even the ESTIMATES are oracle-checkable.
+    * Output: (concept_a, concept_b, est_hops) for every pair reachable
+    * from a shared landmark within `maxHops`, concept_a < concept_b
+    * (self-pairs excluded; the upper-bound property is asserted in the
+    * spec against true BFS distances). */
+  def landmarkDistances(edges: DataFrame, landmarks: Int = 4, maxHops: Int = 6): DataFrame = {
+    require(landmarks > 0, s"landmarks must be positive: $landmarks")
+    val sym = symmetrize(edges)
+    val seeds = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .orderBy(md5(col("node")), col("node"))
+      .limit(landmarks)
+    val dist = bfsDistances(sym, maxHops, seeds = Some(seeds))
+    val du = dist.select(col("s").as("l"), col("v").as("a"), col("hops").as("ha"))
+    val dv = dist.select(col("s").as("l"), col("v").as("b"), col("hops").as("hb"))
+    val out = du
+      .join(dv, Seq("l"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(min(col("ha") + col("hb")).as("est_hops"))
+      .select(col("a").as("concept_a"), col("b").as("concept_b"), col("est_hops"))
       .localCheckpoint()
     sym.unpersist(false)
     out

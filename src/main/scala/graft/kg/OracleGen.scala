@@ -475,6 +475,45 @@ object OracleGen {
        |FROM d$maxHops GROUP BY 1""".stripMargin
   }
 
+  /** Landmark-distance oracle: the [[harmonicSql]] BFS skeleton seeded at
+    * only the k smallest-md5 landmark nodes (the same deterministic pivot
+    * coin as [[betweennessSql]]), then the pair estimate
+    * min_l d(u,l)+d(l,v) — mirrors [[Centrality.landmarkDistances]]
+    * bit-for-bit (exact integer hops throughout). */
+  def landmarkDistSql(landmarks: Int, maxHops: Int): String = {
+    val rounds = (1 to maxHops)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s, v, MIN(hops) AS hops FROM (
+           |    SELECT s, v, hops FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT w.s, e.dst AS v, w.hops + 1 FROM d${i - 1} w JOIN sym e ON e.src = w.v
+           |  ) GROUP BY 1, 2)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $transcriptsCte,
+       |$turnsCte,
+       |per_turn AS (
+       |${perTurnCountsSql}
+       |),
+       |pc AS MATERIALIZED (SELECT DISTINCT conv_id, concept_id FROM per_turn WHERE n_mentions > 0),
+       |co0 AS MATERIALIZED (
+       |  SELECT a.concept_id AS ca, b.concept_id AS cb, COUNT(*) AS w
+       |  FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT MAX(w) AS m FROM co0),
+       |co AS MATERIALIZED (SELECT ca, cb FROM co0, mx WHERE w * 100 >= m * 85),
+       |sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM co UNION ALL SELECT cb, ca FROM co),
+       |lm AS MATERIALIZED (
+       |  SELECT node FROM (SELECT DISTINCT src AS node FROM sym)
+       |  ORDER BY md5(node), node LIMIT $landmarks),
+       |d0 AS MATERIALIZED (SELECT node AS s, node AS v, 0 AS hops FROM lm),
+       |$rounds
+       |SELECT a.v AS concept_a, b.v AS concept_b, CAST(MIN(a.hops + b.hops) AS INT) AS est_hops
+       |FROM d$maxHops a JOIN d$maxHops b ON a.s = b.s AND a.v < b.v
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Connected-components oracle over the strong-edge backbone: an
     * INDEPENDENT formulation — a recursive-CTE transitive reachability
     * closure (UNION-deduped, so it terminates at the fixpoint regardless of

@@ -739,6 +739,63 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(capped.values.forall(_ == 1))
   }
 
+  test("landmark distances: equal the independent reference; upper-bound the true distance") {
+    // pseudo-random connected graph with a hub (same generator family as
+    // the triangle/k-core cases)
+    val nodes = (0 until 18).map(i => s"n$i")
+    val rnd = new scala.util.Random(11)
+    val extra = (0 until 30).map { _ =>
+      val a = nodes(rnd.nextInt(nodes.size)); val b = nodes(rnd.nextInt(nodes.size)); (a, b)
+    }
+    val ring = nodes.indices.map(i => (nodes(i), nodes((i + 1) % nodes.size)))
+    val edges = (ring ++ extra).filter { case (a, b) => a != b }.distinct
+    val df = edges.map { case (a, b) => (a, b, 1L) }.toDF("concept_a", "concept_b", "n_convs")
+
+    // single-threaded truth: level-synchronous BFS from every node
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    def bfsLevels(s: String): Map[String, Int] = {
+      var dist = Map(s -> 0); var frontier = Set(s); var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).diff(dist.keySet)
+        next.foreach(v => dist += v -> d)
+        frontier = next
+      }
+      dist
+    }
+    val trueDist = nodes.map(n => n -> bfsLevels(n)).toMap
+    // independently recompute the landmark set: k smallest (md5 hex, node)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val present = sym.map(_._1).distinct
+    val lms = present.sortBy(n => (md5hex(n), n)).take(4)
+    val expected = (for {
+      a <- present; b <- present if a < b
+      ests = lms.flatMap(l =>
+        for (da <- trueDist(l).get(a); db <- trueDist(l).get(b)) yield da + db)
+      if ests.nonEmpty
+    } yield (a, b) -> ests.min).toMap
+
+    val got = graft.kg.Centrality
+      .landmarkDistances(df, landmarks = 4, maxHops = 6)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(got === expected)
+    // triangle-inequality upper bound vs the true distance, with exactness
+    // whenever a landmark endpoint is in the pair
+    got.foreach { case ((a, b), est) =>
+      assert(est >= trueDist(a)(b), s"est($a,$b)=$est < true ${trueDist(a)(b)}")
+    }
+    lms.foreach { l =>
+      got.collect { case ((a, b), est) if a == l || b == l =>
+        assert(est == trueDist(a)(b))
+      }
+    }
+  }
+
   /** Single-threaded Brandes with the SAME hop bound and fixed-point
     * per-edge floor division — independent formulation (mutable maps, depth
     * recursion by level) of the recurrence the engine runs as joins.
