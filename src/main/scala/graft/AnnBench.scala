@@ -110,8 +110,24 @@ object AnnBench {
     val (semDropped, semSec) = best3(
       Similarity.semanticDedup(emb, cents, threshold = 0.9).where(col("kept") === 0).count())
 
+    // SQ8 legs: the scale build (one corpus aggregate — the quantizer's
+    // whole model state), the quantized brute scan vs the float scan (same
+    // O(n·d) work shape; at 100 TB the win is the 4x-smaller persisted
+    // index, which a single-host page-cached bench can only hint at), the
+    // IVF×SQ8 composition, and both recalls vs the float exact ranking
+    val (scales, sq8ScalesSec) = time(Similarity.sq8Scales(emb))
+    val (sq8Rows, sq8Sec) = best3(Similarity.sq8TopK(emb, scales, nQueries, 10).count())
+    val (_, sq8IvfSec) = best3(
+      Similarity.sq8IvfTopK(emb, scales, nQueries, 10, nCells, nProbe, Some(index), Some(cents)).count())
+    val sq8 = Similarity.sq8TopK(emb, scales, nQueries, 10).select(col("query_id"), col("neighbor_id"))
+    val sq8Recall = exact.intersect(sq8).count().toDouble / exactRows
+    val sq8Ivf = Similarity
+      .sq8IvfTopK(emb, scales, nQueries, 10, nCells, nProbe, Some(index), Some(cents))
+      .select(col("query_id"), col("neighbor_id"))
+    val sq8IvfRecall = exact.intersect(sq8Ivf).count().toDouble / exactRows
+
     val json =
-      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows,"semdedup_sec":$semSec%.3f,"semdedup_dropped":$semDropped}"""
+      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows,"semdedup_sec":$semSec%.3f,"semdedup_dropped":$semDropped,"sq8_scales_sec":$sq8ScalesSec%.3f,"sq8_sec":$sq8Sec%.3f,"sq8_rows":$sq8Rows,"sq8_recall":$sq8Recall%.4f,"sq8_ivf_sec":$sq8IvfSec%.3f,"sq8_ivf_recall":$sq8IvfRecall%.4f}"""
     println(json)
     spark.stop()
   }

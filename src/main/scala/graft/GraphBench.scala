@@ -49,6 +49,11 @@ import org.apache.spark.sql.functions._
   *                 condensation is exactly one edge per bridge — and the
   *                 layering forces MULTIPLE peel rounds, so the outer loop
   *                 (not just one coloring pass) is what's measured.
+  *   - landmark:   16-landmark distance artifact over a 1M-node degree-8
+  *                 graph at maxHops 6 (a ~16M-row landmarks × nodes
+  *                 relation), then 1M batch pair queries against it.
+  *                 Truth: estimates within [1, 2·maxHops] and TRIANGLE
+  *                 EQUALITY on every landmark-endpoint pair.
   *
   * Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_GRAPH_SCALE (1.0 — multiplies
   * every size knob; 0.1 for a smoke run).
@@ -303,8 +308,62 @@ object GraphBench {
     val sccNodes = nCyc * 4
     val sccEdges = nCyc * 4 + third * 2
 
+    // ---- Landmark distance oracle: artifact build + batch pair queries ----
+    // 1M-node ring+3-hash-chord graph (degree ~8, connected). 16 landmarks,
+    // maxHops 6 — reach saturates the graph, so the persisted artifact is a
+    // genuine (landmarks × nodes) ≈ 16M-row relation and the BFS rounds
+    // push ~128M join rows each: the scale story is that traversal cost
+    // follows the SEED set while the pair-query join follows the QUERY
+    // batch (1M pairs here), never nodes². Truths: (1) every estimate lies
+    // in [1, 2·maxHops]; (2) TRIANGLE EQUALITY — for a queried pair whose
+    // endpoint IS a landmark, the estimate must equal that landmark's own
+    // BFS distance exactly (every other landmark's d(l,a)+d(l,b) ≥ d(a,b),
+    // and the l=a term achieves it) — a silently-wrong min or join
+    // orientation cannot pass it.
+    val lmN = (1000000 * scale).toLong.max(10000L)
+    val lmGraphPath = s"/tmp/graft_lm_bench_$lmN"
+    if (!Bench.parquetComplete(lmGraphPath)) {
+      val ids = spark.range(lmN)
+      val ring = ids.select(nid(col("id")).as("src"), nid((col("id") + 1) % lmN).as("dst"))
+      val chords = (1 to 3)
+        .map(j =>
+          ids.select(
+            nid(col("id")).as("src"),
+            nid(pmod(xxhash64(col("id"), lit(j)), lit(lmN))).as("dst")))
+        .reduce(_ union _)
+        .where(col("src") =!= col("dst"))
+      ring.union(chords).repartition(cpus * 4).write.mode("overwrite").parquet(lmGraphPath)
+    }
+    val lmEdges = spark.read.parquet(lmGraphPath)
+      .select(col("src").as("concept_a"), col("dst").as("concept_b"))
+    val lmEdgeCount = lmEdges.count()
+    val (lmDist, lmBfsSec) = Bench.time {
+      val d = graft.kg.Centrality.landmarkBfs(lmEdges, landmarks = 16, maxHops = 6)
+      d.count(); d
+    }
+    val lmArtifactRows = lmDist.count()
+    val lmPairs = spark
+      .range(lmN)
+      .select(nid(col("id")).as("a"), nid(pmod(xxhash64(col("id"), lit(77)), lit(lmN))).as("b"))
+      .where(col("a") =!= col("b"))
+    val (lmEst, lmQuerySec) = Bench.time {
+      val e = graft.kg.Centrality.landmarkDistanceQueries(lmDist, lmPairs).localCheckpoint()
+      e.count(); e
+    }
+    val lmAnswered = lmEst.count()
+    require(lmAnswered > 0, "landmark batch answered no pairs")
+    val lmBad = lmEst.where(col("est_hops") < 1 || col("est_hops") > 12).count()
+    require(lmBad == 0, s"estimates out of [1, 2*maxHops]: $lmBad")
+    val lmMismatch = lmEst
+      .join(
+        lmDist.select(col("s").as("a"), col("v").as("b"), col("hops").as("true_hops")),
+        Seq("a", "b"))
+      .where(col("est_hops") =!= col("true_hops"))
+      .count()
+    require(lmMismatch == 0, s"triangle equality violated on $lmMismatch landmark-endpoint pairs")
+
     println(
-      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true},"ktruss":{"n_edges":$trussEdgesN,"k":6,"sec":$trussSec%.3f,"edges_per_sec":${trussEdgesN / trussSec}%.1f,"exact_cliques":true},"node2vec":{"n_walks":$nvWalkNodes,"len":$nvLen,"corpus_rows":$nvRows,"sec":$nvSec%.3f,"walk_steps_per_sec":${nvRows / nvSec}%.1f,"full_length":true},"scc":{"n_nodes":$sccNodes,"n_edges":$sccEdges,"sec":$sccSec%.3f,"nodes_per_sec":${sccNodes / sccSec}%.1f,"condensation_sec":$condSec%.3f,"planted_exact":true}}""")
+      f"""{"metric":"graph_analytics_bench","scale":$scale,"hits":{"n_edges":$hitsEdges,"iters":4,"sec":$hitsSec%.3f,"edge_traversals_per_sec":${8L * hitsEdges / hitsSec}%.1f,"planted_top":true},"ppr":{"n_edges":$pprEdges,"iters":5,"sec":$pprSec%.3f,"edge_traversals_per_sec":${5L * pprEdges / pprSec}%.1f,"seed_top":true},"walks":{"n_edges":$wEdgeCount,"n_nodes":$wNodes,"corpus_rows":$walkRows,"sec":$walksSec%.3f,"walk_steps_per_sec":${walkRows / walksSec}%.1f,"full_length":true},"harmonic":{"n_nodes":$harmNodes,"max_hops":3,"sec":$harmSec%.3f,"sources_per_sec":${harmNodes / harmSec}%.1f,"bounds_ok":true},"betweenness":{"n_nodes":$bcNodes,"max_hops":3,"sec":$bcSec%.3f,"centre_top":true},"ktruss":{"n_edges":$trussEdgesN,"k":6,"sec":$trussSec%.3f,"edges_per_sec":${trussEdgesN / trussSec}%.1f,"exact_cliques":true},"node2vec":{"n_walks":$nvWalkNodes,"len":$nvLen,"corpus_rows":$nvRows,"sec":$nvSec%.3f,"walk_steps_per_sec":${nvRows / nvSec}%.1f,"full_length":true},"scc":{"n_nodes":$sccNodes,"n_edges":$sccEdges,"sec":$sccSec%.3f,"nodes_per_sec":${sccNodes / sccSec}%.1f,"condensation_sec":$condSec%.3f,"planted_exact":true},"landmark":{"n_nodes":$lmN,"n_edges":$lmEdgeCount,"landmarks":16,"max_hops":6,"artifact_rows":$lmArtifactRows,"bfs_sec":$lmBfsSec%.3f,"query_pairs_answered":$lmAnswered,"query_sec":$lmQuerySec%.3f,"pairs_per_sec":${lmAnswered / lmQuerySec}%.1f,"triangle_equality":true}}""")
     spark.stop()
   }
 }

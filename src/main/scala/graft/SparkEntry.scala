@@ -602,6 +602,16 @@ object SparkEntry {
     // float ranking is measured in the spec.
     "sim_topk_sq8" -> ((s, dir) =>
       Similarity.sq8TopK(emb(s, dir), sq8Scales(s, dir), nQueries = 50, k = 10)),
+    // IVF pruning × SQ8 compression composed: scanned fraction bounded by
+    // nProbe/nCells AND bytes-per-row bounded at 1/dim — the production
+    // ANN shape; both model artifacts come from the session cache
+    "sim_ann_ivf_sq8" -> ((s, dir) => {
+      val cb = ivfCodebook(s, dir)
+      val assigned = Similarity.ivfAssign(emb(s, dir), preCents = Some(cb)).localCheckpoint()
+      Similarity.sq8IvfTopK(
+        emb(s, dir), sq8Scales(s, dir), nQueries = 50, k = 10,
+        preAssigned = Some(assigned), preCents = Some(cb))
+    }),
     // ---- text analysis ------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -1553,6 +1563,36 @@ object SparkEntry {
         |  SELECT c.query_id, c.neighbor_id,
         |         list_dot_product(q.e, n.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))) AS score
         |  FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc) WHERE rank <= 10""".stripMargin,
+    // IVF probes from the float codebook CTEs + SQ8 quantized candidate
+    // scoring — the composed oracle reuses both verified replications
+    "sim_ann_ivf_sq8" ->
+      s"""WITH $ivfCodebookCtes,
+        |dims AS (SELECT i, max(abs(x)) AS s FROM
+        |           (SELECT generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v) GROUP BY i),
+        |qr AS (SELECT vec_id, i, CASE WHEN s = 0 THEN 0.0
+        |                              ELSE floor(x * 127.0 / s + 0.5) END AS q
+        |       FROM (SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v) r
+        |       JOIN dims USING (i)),
+        |qvl AS (SELECT vec_id, list(q ORDER BY i) AS q FROM qr GROUP BY vec_id),
+        |qn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qvl),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn FROM scored)
+        |  WHERE rn = 1),
+        |probes AS (SELECT query_id, cell FROM (
+        |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY negd, cell) AS rn
+        |  FROM scored WHERE vec_id < 50) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a USING (cell) WHERE p.query_id <> a.vec_id),
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         CASE WHEN q.nrm * n.nrm = 0 THEN -2.0
+        |              ELSE list_dot_product(q.q, n.q) / (q.nrm * n.nrm) END AS score
+        |  FROM cand c JOIN qn q ON q.vec_id = c.query_id JOIN qn n ON n.vec_id = c.neighbor_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, neighbor_id,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank

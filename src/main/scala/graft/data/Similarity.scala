@@ -605,11 +605,14 @@ object Similarity {
       array(scales.map(lit(_)): _*),
       (x, s) => when(s === 0.0, lit(0L)).otherwise(floor(x * lit(127.0) / s + lit(0.5))))
 
-  /** Exact long dot product of two quantized vectors. |q| ≤ 127 so a term
-    * is ≤ 16129 and a 64-dim dot ≤ ~1.03e6 — fifteen orders of headroom
-    * under Long. */
+  /** Exact long dot product of two quantized vectors — the native codegen
+    * expression (order-free integer sum, value identical to the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` it replaces; see
+    * DotProductLongExpression for the measured 3.2× HOF penalty). |q| ≤
+    * 127 so a term is ≤ 16129 and a 64-dim dot ≤ ~1.03e6 — twelve orders
+    * of headroom under Long. */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    graft.extract.DotProductLongExpression.dotProductLong(a, b)
 
   /** Brute-force top-k cosine over the SQ8-quantized corpus — the memory
     * tier below the float index: the persisted artifact is 1 byte/dim
@@ -658,6 +661,64 @@ object Similarity {
           .as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF-pruned + SQ8-compressed top-k — the production combination: cell
+    * pruning bounds the SCANNED fraction (nProbe/nCells) and quantization
+    * bounds the BYTES per scanned row (1 per dim), so the two devices
+    * multiply. The persisted index rows carry (cell, int8 vector); probe
+    * selection stays float against the codebook (the model artifact — the
+    * query side pays nCells·dim float ops once per query), candidate
+    * scoring is exact long dots on the quantized vectors, ranking and ties
+    * exactly as [[sq8TopK]]. Plan shape = [[ivfTopK]]: the corpus-side
+    * index never shuffles, probes broadcast. */
+  def sq8IvfTopK(
+      emb: DataFrame,
+      scales: Seq[Double],
+      nQueries: Int = 50,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      preAssigned: Option[DataFrame] = None,
+      preCents: Option[Seq[(Int, Seq[Double])]] = None
+  ): DataFrame = {
+    val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
+    val assigned0 = preAssigned.getOrElse(ivfAssign(emb, nCells, Some(cents)))
+    // the index rows carry the QUANTIZED vector + its hoisted norm
+    val assigned = assigned0.select(
+      col("vec_id"),
+      col("cell"),
+      sq8Quantize(col("v"), scales).as("iv"))
+      .select(col("vec_id"), col("cell"), col("iv"), sqrt(dotQ(col("iv"), col("iv")).cast("double")).as("nrm"))
+    val qdf = emb
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = (
+      if (cents.size <= LiteralCellCap)
+        qdf.select(
+          col("vec_id"),
+          col("v"),
+          explode(nearest(col("v"), cents, nProbe)).as("p"))
+          .select(col("vec_id"), col("v"), col("p.cell").as("cell"))
+      else probeBroadcast(qdf, cents, nProbe)
+    ).select(
+      col("vec_id").as("query_id"),
+      sq8Quantize(col("v"), scales).as("qv"),
+      col("cell"))
+      .select(col("query_id"), col("qv"), sqrt(dotQ(col("qv"), col("qv")).cast("double")).as("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), "cell")
+      .where(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        when(col("qn") * col("nrm") === 0.0, lit(-2.0))
+          .otherwise(dotQ(col("qv"), col("iv")).cast("double") / (col("qn") * col("nrm")))
+          .as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
