@@ -140,6 +140,14 @@ object SparkEntry {
     cachedArtifact(sq8Cache, s, dir, "embeddings")(
       Similarity.sq8Scales(emb(s, dir)))
 
+  /** PQ codebooks (m subspaces × kCents centroids) — the trained product
+    * quantizer, an ingest-time model artifact like the IVF codebook. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[(Int, Int, Seq[Double])]]
+  private def pqBooks(s: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] =
+    cachedArtifact(pqCache, s, dir, "embeddings")(
+      Similarity.pqCodebooks(emb(s, dir)))
+
   /** Trend relation (concept_id, day_num, n_mentions) shared by kg_trends
     * and kg_bursts. The one fact⋈fact join in the family; both sides
     * hash-partition on conv_id. At 100 TB the cheaper shape is carrying ts
@@ -612,6 +620,11 @@ object SparkEntry {
         emb(s, dir), sq8Scales(s, dir), nQueries = 50, k = 10,
         preAssigned = Some(assigned), preCents = Some(cb))
     }),
+    // product quantization: m=8 subspace codebooks, 8-byte codes (32×
+    // compression), asymmetric-distance scoring — per candidate the scan
+    // does m integer lookups+adds, never touching the float vector
+    "sim_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), pqBooks(s, dir), nQueries = 50, k = 10)),
     // ---- text analysis ------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -1596,6 +1609,48 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, neighbor_id,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc) WHERE rank <= 10""".stripMargin,
+    // full PQ replication: same normalized slicing, same deterministic
+    // seeds, same one-Lloyd-step training (L2 assignment with (l2, cent)
+    // ties; quantized-integer subspace means — order-free, so the refined
+    // books match bit-for-bit), same fixed-point ADC partials and exact
+    // long score sums
+    "sim_topk_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |vn AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e FROM v),
+        |subv AS MATERIALIZED (
+        |  SELECT vec_id, s, list_slice(e, s*8+1, s*8+8) AS sv FROM vn, range(0, 8) t(s)),
+        |seed AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS cent, sv AS cv FROM subv WHERE vec_id < 16),
+        |a0 AS (SELECT v.vec_id, v.s, c.cent,
+        |       list_dot_product(v.sv, v.sv) - 2.0*list_dot_product(v.sv, c.cv) + list_dot_product(c.cv, c.cv) AS l2
+        |       FROM subv v JOIN seed c ON v.s = c.s),
+        |as0 AS MATERIALIZED (SELECT vec_id, s, cent FROM (
+        |  SELECT vec_id, s, cent, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY l2, cent) AS rn FROM a0)
+        |  WHERE rn = 1),
+        |ex AS (SELECT a.s, a.cent, unnest(v.sv) AS x, generate_subscripts(v.sv, 1) AS pos
+        |       FROM as0 a JOIN subv v ON v.vec_id = a.vec_id AND v.s = a.s),
+        |sums AS (SELECT s, cent, pos, SUM(CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT)) AS q, COUNT(*) AS n
+        |         FROM ex GROUP BY 1, 2, 3),
+        |ref AS (SELECT s, cent, list((CAST(q AS DOUBLE) / n) / 1048576.0 ORDER BY pos) AS cv FROM sums GROUP BY 1, 2),
+        |cents AS MATERIALIZED (
+        |  SELECT sd.s, sd.cent, COALESCE(r.cv, sd.cv) AS cv
+        |  FROM seed sd LEFT JOIN ref r ON r.s = sd.s AND r.cent = sd.cent),
+        |c0 AS (SELECT v.vec_id, v.s, c.cent,
+        |       list_dot_product(v.sv, v.sv) - 2.0*list_dot_product(v.sv, c.cv) + list_dot_product(c.cv, c.cv) AS l2
+        |       FROM subv v JOIN cents c ON v.s = c.s),
+        |codes AS MATERIALIZED (SELECT vec_id, s, cent FROM (
+        |  SELECT vec_id, s, cent, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY l2, cent) AS rn FROM c0)
+        |  WHERE rn = 1),
+        |qp AS MATERIALIZED (
+        |  SELECT v.vec_id AS query_id, v.s, c.cent,
+        |         CAST(FLOOR(list_dot_product(v.sv, c.cv) * 1048576.0 + 0.5) AS BIGINT) AS pd
+        |  FROM subv v JOIN cents c ON v.s = c.s WHERE v.vec_id < 50),
+        |sc AS (SELECT qp.query_id, cd.vec_id AS neighbor_id, CAST(SUM(qp.pd) AS BIGINT) AS score_q
+        |       FROM codes cd JOIN qp ON qp.s = cd.s AND qp.cent = cd.cent
+        |       WHERE qp.query_id <> cd.vec_id GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, neighbor_id) AS INT) AS rank
         |  FROM sc) WHERE rank <= 10""".stripMargin,
     // full SQ8 replication: same per-dim max-abs scales, same round-half-up
     // floor(x*127/s + 0.5) (every op IEEE double, bit-identical across

@@ -227,6 +227,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.75)
   }
 
+  test("PQ: codebooks deterministic, one code per (vec, subspace), ADC beats chance") {
+    val books = Similarity.pqCodebooks(emb, m = 8, kCents = 16)
+    assert(books.size == 128)
+    assert(books == Similarity.pqCodebooks(emb, m = 8, kCents = 16)) // bit-reproducible
+    books.foreach { case (s, c, v) =>
+      assert(s >= 0 && s < 8 && c >= 0 && c < 16 && v.size == 8)
+    }
+    val pq = Similarity
+      .pqTopK(emb, books, nQueries = 20, k = 10)
+      .collect()
+    assert(pq.length == 200) // 20 queries x 10 ranks, no dropped groups
+    val exact = Similarity
+      .bruteForceTopK(emb, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val got = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"PQ recall=$recall vs float brute force (8 bytes/vec = 32x compression)")
+    // iid-gaussian 64-dim vectors are the hardest case for an 8x16 product
+    // code (each subspace keeps 4 bits of an 8-dim gaussian); chance recall
+    // for top-10-of-499 is ~0.02 — the bound asserts the ADC ranking
+    // carries real signal, the honest ceiling on this corpus is low
+    assert(recall >= 0.2)
+  }
+
   test("incremental embedding dedup == exact pairs touching the batch (measured-recall corpus)") {
     val exact = {
       val n = emb.select($"vec_id", Similarity.norm($"embedding".cast("array<double>")).as("nrm"),
