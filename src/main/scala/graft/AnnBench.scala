@@ -126,8 +126,45 @@ object AnnBench {
       .select(col("query_id"), col("neighbor_id"))
     val sq8IvfRecall = exact.intersect(sq8Ivf).count().toDouble / exactRows
 
+    // PQ legs: train on a 1/50 sample (standard practice — the books are a
+    // statistic of the distribution, not the corpus), encode the FULL
+    // corpus once (= the 32x-compressed persisted index; the heavy
+    // corpus×m×kCents assignment join is an index-build cost), then the
+    // ADC query path reads only the code table
+    val (pqBooks, pqTrainSec) = time(
+      Similarity.pqCodebooks(emb.where(col("vec_id") % 50 === 0), m = 8, kCents = 16))
+    val (pqCodes, pqEncodeSec) = time {
+      val c = Similarity.pqEncode(emb, pqBooks).localCheckpoint()
+      c.count()
+      c
+    }
+    // ADC scoring joins the code table against the per-query LUT relation
+    // (m·kCents rows per query), so the intermediate is corpus×m×queries —
+    // 20 queries keeps that at ~320M rows (production would pivot the LUT
+    // to a broadcast map and score map-side; the relation form is the
+    // oracle-checkable shape)
+    val pqQ = 20
+    val (_, pqSec) = best3(
+      Similarity.pqTopK(emb, pqBooks, pqQ, 10, preCodes = Some(pqCodes)).count())
+    val pqTop = Similarity
+      .pqTopK(emb, pqBooks, pqQ, 10, preCodes = Some(pqCodes))
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    // exact recall is resolution-limited BY DESIGN on this corpus: cluster
+    // noise (±0.05) is far below the 4-bit/subspace quantization cell, so
+    // every same-cluster vector shares one code and ADC cannot rank WITHIN
+    // a cluster (ties break by id — exact-recall reads ~0). The meaningful
+    // truth at this resolution is CLUSTER recall: a PQ neighbor must come
+    // from the query's planted cluster (id ≡ query mod nCells)
+    val pqRecall =
+      exact.where(col("query_id") < pqQ).intersect(pqTop).count().toDouble / (pqQ * 10)
+    val pqClusterRecall = pqTop
+      .where(pmod(col("query_id"), lit(nCells)) === pmod(col("neighbor_id"), lit(nCells)))
+      .count()
+      .toDouble / (pqQ * 10)
+
     val json =
-      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows,"semdedup_sec":$semSec%.3f,"semdedup_dropped":$semDropped,"sq8_scales_sec":$sq8ScalesSec%.3f,"sq8_sec":$sq8Sec%.3f,"sq8_rows":$sq8Rows,"sq8_recall":$sq8Recall%.4f,"sq8_ivf_sec":$sq8IvfSec%.3f,"sq8_ivf_recall":$sq8IvfRecall%.4f}"""
+      f"""{"metric":"ann_speedup","n":$n,"dim":$Dim,"queries":$nQueries,"n_cells":$nCells,"n_probe":$nProbe,"index_build_sec":$indexSec%.3f,"exact_sec":$exactSec%.3f,"ivf_sec":$ivfSec%.3f,"speedup":${exactSec / ivfSec}%.2f,"recall":$recall%.4f,"exact_rows":$exactRows,"ivf_rows":$ivfRows,"semdedup_sec":$semSec%.3f,"semdedup_dropped":$semDropped,"sq8_scales_sec":$sq8ScalesSec%.3f,"sq8_sec":$sq8Sec%.3f,"sq8_rows":$sq8Rows,"sq8_recall":$sq8Recall%.4f,"sq8_ivf_sec":$sq8IvfSec%.3f,"sq8_ivf_recall":$sq8IvfRecall%.4f,"pq_train_sec":$pqTrainSec%.3f,"pq_encode_sec":$pqEncodeSec%.3f,"pq_queries":$pqQ,"pq_sec":$pqSec%.3f,"pq_recall":$pqRecall%.4f,"pq_cluster_recall":$pqClusterRecall%.4f}"""
     println(json)
     spark.stop()
   }

@@ -685,7 +685,18 @@ object Similarity {
     * Returns (sub, cent, centroid) — m·kCents rows, a driver artifact. */
   def pqCodebooks(emb: DataFrame, m: Int = 8, kCents: Int = 16): Seq[(Int, Int, Seq[Double])] = {
     val sub = pqSubvectors(emb, m)
-    val seeds = sub.where(col("vec_id") < kCents).select(col("s"), col("vec_id").cast("int").as("cent"), col("sv").as("cv"))
+    // seeds = the kCents SMALLEST distinct vec_ids of the INPUT (== vec_id
+    // < kCents on a dense corpus, which is what the oracle replicates; on a
+    // training SAMPLE the rank-based rule still yields kCents real seeds)
+    val seedIds = sub
+      .select(col("vec_id"))
+      .distinct()
+      .orderBy(col("vec_id"))
+      .limit(kCents)
+      .withColumn("cent", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    val seeds = sub
+      .join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("s"), col("cent"), col("sv").as("cv"))
     val assigned = sub
       .join(broadcast(seeds), Seq("s"))
       .select(
@@ -749,18 +760,15 @@ object Similarity {
     * candidate is m integer additions — no float ops, no full-vector
     * reads. Output (query_id, rank, neighbor_id), rank by (score desc,
     * neighbor_id). */
-  def pqTopK(
-      emb: DataFrame,
-      books: Seq[(Int, Int, Seq[Double])],
-      nQueries: Int = 50,
-      k: Int = 10
-  ): DataFrame = {
+  /** Encode the corpus against trained PQ books: the CODE TABLE
+    * (vec_id, s, cent) — the persisted 32×-compressed index artifact. */
+  def pqEncode(emb: DataFrame, books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
     val m = books.map(_._1).max + 1
     val sub = pqSubvectors(emb, m)
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = books.toDF("s", "cent", "cv")
-    val codes = sub
+    sub
       .join(broadcast(cents), Seq("s"))
       .select(
         col("vec_id"),
@@ -768,6 +776,21 @@ object Similarity {
         struct(pqL2(col("sv"), col("cv")).as("l2"), col("cent").as("cent")).as("sc"))
       .groupBy("vec_id", "s")
       .agg(min(col("sc")).getField("cent").as("cent"))
+  }
+
+  def pqTopK(
+      emb: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])],
+      nQueries: Int = 50,
+      k: Int = 10,
+      preCodes: Option[DataFrame] = None
+  ): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val sub = pqSubvectors(emb, m)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = books.toDF("s", "cent", "cv")
+    val codes = preCodes.getOrElse(pqEncode(emb, books))
     val qp = sub
       .where(col("vec_id") < nQueries)
       .join(broadcast(cents), Seq("s"))

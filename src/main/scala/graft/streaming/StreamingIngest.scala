@@ -115,6 +115,26 @@ object StreamingIngest {
       .groupBy("hrow", "bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming twin of [[graft.data.Sketches.kmvBottomKOf]]: a live KMV
+    * bottom-k sketch over the turn-text token stream — ONE state row
+    * holding the ≤ k smallest distinct token hashes (a
+    * [[graft.extract.BottomKAggregate]] buffer), from which distinct
+    * count, uniform token sample, and set-operation estimates
+    * ([[graft.data.Sketches.kmvSetOps]]'s arithmetic) all read. Bottom-k
+    * is min-like — re-observing a token cannot change the state — so like
+    * the HLL register MAX (and unlike the Count-Min SUM) this twin absorbs
+    * at-least-once replays for free. After any stream prefix the hash
+    * array equals the batch sketch of exactly the rows seen
+    * (StreamingSpec asserts), so live and nightly sketches merge
+    * interchangeably. */
+  def kmvStream(transcripts: DataFrame, k: Int = 256): DataFrame =
+    transcripts
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy()
+      .agg(graft.extract.BottomKAggregate.bottomK(col("h"), k).as("hashes"))
+
   /** Streaming twin of the Misra-Gries heavy-hitter candidate pass
     * ([[graft.extract.MisraGriesAggregate]]): live frequent-token summaries
     * over the turn-text stream. Tokens hash-partition into `groups` rows

@@ -189,6 +189,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming KMV bottom-k: batch parity after each batch, replays absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, String, Option[String], Timestamp)]
+    val transcripts = input.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val k = 16
+    val sketch = graft.streaming.StreamingIngest.kmvStream(transcripts, k)
+    val query = sketch.writeStream
+      .format("memory")
+      .queryName("kmv_stream")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      def batchKmv(texts: Seq[String]): Seq[Long] =
+        graft.data.Sketches
+          .kmvBottomKOf(
+            texts.flatMap(_.split("\\s+")).filter(_.nonEmpty).toDF("tok"),
+            k)
+          .collect()
+          .map(_.getLong(0))
+          .toSeq
+          .sorted
+      def streamKmv(): Seq[Long] =
+        spark.table("kmv_stream").collect()(0).getSeq[Long](0).toSeq
+
+      // > k distinct tokens so the buffer genuinely evicts
+      val t1 = (0 until 30).map(i => s"tok_$i other_$i")
+      input.addData(t1.zipWithIndex.map { case (t, i) => ("c1", i, "user", t, None: Option[String], ts(i)) }: _*)
+      query.processAllAvailable()
+      assert(streamKmv() === batchKmv(t1), "prefix parity after batch 1")
+      assert(streamKmv().size == k)
+
+      // second batch includes REPLAYED rows — bottom-k is min-like, so the
+      // state must equal the batch sketch of the distinct union
+      val t2 = t1.take(5) ++ (30 until 45).map(i => s"tok_$i")
+      input.addData(t2.zipWithIndex.map { case (t, i) => ("c2", i, "user", t, None: Option[String], ts(100 + i)) }: _*)
+      query.processAllAvailable()
+      assert(streamKmv() === batchKmv(t1 ++ t2), "prefix parity incl. replayed rows")
+
+      // the live sketch answers the distinct-count estimate with the batch
+      // estimator (same hash domain, same arithmetic)
+      val est = graft.data.Sketches.kmvEstimate(streamKmv(), k)
+      val truth = (t1 ++ t2).flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct.size
+      assert(est > truth * 0.3 && est < truth * 3.0, s"estimate $est vs truth $truth")
+    } finally query.stop()
+  }
+
   test("streaming MG summaries: bounded state, superset + undercount bound after each batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
