@@ -625,6 +625,11 @@ object SparkEntry {
     // does m integer lookups+adds, never touching the float vector
     "sim_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(emb(s, dir), pqBooks(s, dir), nQueries = 50, k = 10)),
+    // PQ-then-re-rank: integer ADC nominates a 50-candidate shortlist,
+    // exact cosine re-ranks it — float work is queries × shortlist, never
+    // queries × corpus (the standard coarse-code deployment shape)
+    "sim_topk_pq_rerank" -> ((s, dir) =>
+      Similarity.pqRerankTopK(emb(s, dir), pqBooks(s, dir), nQueries = 50, k = 10, shortlist = 50)),
     // ---- text analysis ------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -1610,6 +1615,53 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
         |  FROM sc) WHERE rank <= 10""".stripMargin,
+    // the PQ pipeline + the re-rank tail: ADC shortlist of 50 by the same
+    // (score_q desc, neighbor_id) order, then exact float cosine over the
+    // shortlist only — every float op identical to the sim_topk form
+    "sim_topk_pq_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |vn AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e FROM v),
+        |subv AS MATERIALIZED (
+        |  SELECT vec_id, s, list_slice(e, s*8+1, s*8+8) AS sv FROM vn, range(0, 8) t(s)),
+        |seed AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS cent, sv AS cv FROM subv WHERE vec_id < 16),
+        |a0 AS (SELECT v.vec_id, v.s, c.cent,
+        |       list_dot_product(v.sv, v.sv) - 2.0*list_dot_product(v.sv, c.cv) + list_dot_product(c.cv, c.cv) AS l2
+        |       FROM subv v JOIN seed c ON v.s = c.s),
+        |as0 AS MATERIALIZED (SELECT vec_id, s, cent FROM (
+        |  SELECT vec_id, s, cent, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY l2, cent) AS rn FROM a0)
+        |  WHERE rn = 1),
+        |ex AS (SELECT a.s, a.cent, unnest(v.sv) AS x, generate_subscripts(v.sv, 1) AS pos
+        |       FROM as0 a JOIN subv v ON v.vec_id = a.vec_id AND v.s = a.s),
+        |sums AS (SELECT s, cent, pos, SUM(CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT)) AS q, COUNT(*) AS n
+        |         FROM ex GROUP BY 1, 2, 3),
+        |ref AS (SELECT s, cent, list((CAST(q AS DOUBLE) / n) / 1048576.0 ORDER BY pos) AS cv FROM sums GROUP BY 1, 2),
+        |cents AS MATERIALIZED (
+        |  SELECT sd.s, sd.cent, COALESCE(r.cv, sd.cv) AS cv
+        |  FROM seed sd LEFT JOIN ref r ON r.s = sd.s AND r.cent = sd.cent),
+        |c0 AS (SELECT v.vec_id, v.s, c.cent,
+        |       list_dot_product(v.sv, v.sv) - 2.0*list_dot_product(v.sv, c.cv) + list_dot_product(c.cv, c.cv) AS l2
+        |       FROM subv v JOIN cents c ON v.s = c.s),
+        |codes AS MATERIALIZED (SELECT vec_id, s, cent FROM (
+        |  SELECT vec_id, s, cent, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY l2, cent) AS rn FROM c0)
+        |  WHERE rn = 1),
+        |qp AS MATERIALIZED (
+        |  SELECT v.vec_id AS query_id, v.s, c.cent,
+        |         CAST(FLOOR(list_dot_product(v.sv, c.cv) * 1048576.0 + 0.5) AS BIGINT) AS pd
+        |  FROM subv v JOIN cents c ON v.s = c.s WHERE v.vec_id < 50),
+        |sc AS (SELECT qp.query_id, cd.vec_id AS neighbor_id, CAST(SUM(qp.pd) AS BIGINT) AS score_q
+        |       FROM codes cd JOIN qp ON qp.s = cd.s AND qp.cent = cd.cent
+        |       WHERE qp.query_id <> cd.vec_id GROUP BY 1, 2),
+        |short AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, neighbor_id) AS rn
+        |  FROM sc) WHERE rn <= 50),
+        |rr AS (SELECT s.query_id, s.neighbor_id,
+        |              list_dot_product(q.e, n.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))) AS score
+        |       FROM short s JOIN v q ON q.vec_id = s.query_id JOIN v n ON n.vec_id = s.neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM rr) WHERE rank <= 10""".stripMargin,
     // full PQ replication: same normalized slicing, same deterministic
     // seeds, same one-Lloyd-step training (L2 assignment with (l2, cent)
     // ties; quantized-integer subspace means — order-free, so the refined

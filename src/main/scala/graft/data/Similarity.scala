@@ -785,6 +785,63 @@ object Similarity {
       k: Int = 10,
       preCodes: Option[DataFrame] = None
   ): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_q").desc, col("neighbor_id").asc)
+    pqScores(emb, books, nQueries, preCodes)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** PQ-then-re-rank — the standard deployment shape for a coarse product
+    * code (Jégou et al.'s ADC + verification): the 8-byte-code ADC scan
+    * nominates a `shortlist`-sized candidate cohort per query (cheap,
+    * integer-only, never touches float vectors), then ONLY the shortlist
+    * joins back to the full vectors for exact cosine re-ranking — float
+    * work is queries × shortlist instead of queries × corpus. Recovers
+    * the within-cohort ranking the coarse code cannot express (the
+    * measured resolution limit in BENCH/BASELINE.md); final ranking and
+    * ties exactly as [[bruteForceTopK]]. */
+  def pqRerankTopK(
+      emb: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])],
+      nQueries: Int = 50,
+      k: Int = 10,
+      shortlist: Int = 50,
+      preCodes: Option[DataFrame] = None
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("score_q").desc, col("neighbor_id").asc)
+    val cand = pqScores(emb, books, nQueries, preCodes)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val full = emb.select(
+      col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      norm(asDouble(col("embedding"))).as("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    cand
+      .join(full.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn")), Seq("neighbor_id"))
+      .join(
+        broadcast(full.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** The raw ADC score relation (query_id, neighbor_id, score_q) shared by
+    * [[pqTopK]] and [[pqRerankTopK]]. */
+  private def pqScores(
+      emb: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])],
+      nQueries: Int,
+      preCodes: Option[DataFrame]
+  ): DataFrame = {
     val m = books.map(_._1).max + 1
     val sub = pqSubvectors(emb, m)
     val spark = emb.sparkSession
@@ -799,15 +856,11 @@ object Similarity {
         col("s"),
         col("cent"),
         floor(dot(col("sv"), col("cv")) * lit(1048576.0) + lit(0.5)).as("pd"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score_q").desc, col("neighbor_id").asc)
     codes
       .join(broadcast(qp), Seq("s", "cent"))
       .where(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pd")).as("score_q"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
   }
 
   /** IVF-pruned + SQ8-compressed top-k — the production combination: cell

@@ -251,6 +251,30 @@ class DataOpsSpec extends AnyFunSuite {
     // for top-10-of-499 is ~0.02 — the bound asserts the ADC ranking
     // carries real signal, the honest ceiling on this corpus is low
     assert(recall >= 0.2)
+
+    // re-rank: exact cosine over the ADC shortlist. With the shortlist
+    // covering the whole corpus the result must equal brute force EXACTLY
+    // (same floats, same ties) — the strongest possible check of the tail
+    val rerankAll = Similarity
+      .pqRerankTopK(emb, books, nQueries = 20, k = 10, shortlist = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val bruteAll = Similarity
+      .bruteForceTopK(emb, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(rerankAll === bruteAll, "full-shortlist re-rank must equal brute force bit-for-bit")
+    // and a 50-candidate shortlist must not lose recall vs raw ADC
+    val rr50 = Similarity
+      .pqRerankTopK(emb, books, nQueries = 20, k = 10, shortlist = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val rrRecall = (exact & rr50).size.toDouble / exact.size
+    info(s"PQ+rerank(50) recall=$rrRecall vs raw ADC $recall")
+    assert(rrRecall >= recall)
   }
 
   test("incremental embedding dedup == exact pairs touching the batch (measured-recall corpus)") {
