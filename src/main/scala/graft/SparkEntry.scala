@@ -180,6 +180,7 @@ object SparkEntry {
     minhashSigs(s, dir)
     ivfCodebook(s, dir)
     sq8Scales(s, dir)
+    pqBooks(s, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
