@@ -166,8 +166,15 @@ object Dedup {
     // (measured 2.4 s -> 0.5 s at sf0.1). Pin the parallelism with an
     // explicit round-robin repartition — user-specified repartitions are
     // exempt from AQE coalescing, and shuffling the bare id pairs is
-    // trivial next to the merge work they fan out to.
-    val nPart = cand.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // trivial next to the merge work they fan out to. The partition count
+    // is derived from the ACTUAL candidate count (the pair set is already
+    // materialized for the id-prune, so the count is a ~free job over
+    // cached blocks), not pinned to the session constant: a handful of
+    // candidates on one task beats spraying them over hundreds of
+    // overhead-only tasks, and a large candidate set still fans out to the
+    // full session parallelism (~4k pairs ≈ 10 ms of merge work per task).
+    val confPart = cand.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(1L, math.min(confPart.toLong, candCk.count() / 4096L + 1L)).toInt
     candCk
       .repartition(nPart)
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

@@ -41,12 +41,19 @@ object Centrality {
   val Scale: Long = 1000000L
 
   /** Symmetrized, src-partitioned, materialized edge cache shared by every
-    * traversal here; callers must unpersist the returned frame. */
-  private def symmetrize(edges: DataFrame): DataFrame = {
+    * traversal here; callers must unpersist the returned frame.
+    * `numParts` derives the cache's partition count from the edge count
+    * (~500k edges per partition; see SparkEntry.partsFor) so a
+    * dictionary-sized backbone is 1 partition instead of the session
+    * shuffle-partition constant; 0 = the session constant (legacy). */
+  private def symmetrize(edges: DataFrame, numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sym = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"))
       .union(edges.select(col("concept_b").as("src"), col("concept_a").as("dst")))
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
     sym
@@ -80,8 +87,8 @@ object Centrality {
     *              distance here is hops).
     * @return (concept_id, harm_q) — fixed-point harmonic centrality within
     *         `maxHops`; every node of the edge set carries a row. */
-  def harmonic(edges: DataFrame, maxHops: Int = 6): DataFrame = {
-    val sym = symmetrize(edges)
+  def harmonic(edges: DataFrame, maxHops: Int = 6, numParts: Int = 0): DataFrame = {
+    val sym = symmetrize(edges, numParts)
     val out = bfsDistances(sym, maxHops)
       .where(col("hops") > 0)
       .groupBy(col("s").as("concept_id"))
@@ -97,8 +104,8 @@ object Centrality {
     * sibling of the diameter/radius corpus summary, which the consumer
     * derives as max/min over this relation. Same multi-source BFS; the
     * dist relation stays dictionary-squared, never corpus-scale. */
-  def eccentricity(edges: DataFrame, maxHops: Int = 6): DataFrame = {
-    val sym = symmetrize(edges)
+  def eccentricity(edges: DataFrame, maxHops: Int = 6, numParts: Int = 0): DataFrame = {
+    val sym = symmetrize(edges, numParts)
     val out = bfsDistances(sym, maxHops)
       .groupBy(col("s").as("concept_id"))
       .agg(max(col("hops")).as("ecc_hops"))
@@ -125,8 +132,8 @@ object Centrality {
     * from a shared landmark within `maxHops`, concept_a < concept_b
     * (self-pairs excluded; the upper-bound property is asserted in the
     * spec against true BFS distances). */
-  def landmarkDistances(edges: DataFrame, landmarks: Int = 4, maxHops: Int = 6): DataFrame = {
-    val dist = landmarkBfs(edges, landmarks, maxHops)
+  def landmarkDistances(edges: DataFrame, landmarks: Int = 4, maxHops: Int = 6, numParts: Int = 0): DataFrame = {
+    val dist = landmarkBfs(edges, landmarks, maxHops, numParts)
     val du = dist.select(col("s").as("l"), col("v").as("a"), col("hops").as("ha"))
     val dv = dist.select(col("s").as("l"), col("v").as("b"), col("hops").as("hb"))
     du
@@ -144,9 +151,9 @@ object Centrality {
     * queries from. [[landmarkDistances]] materializes the all-pairs tail
     * on top (fine at dictionary grain); past that, batch-query via
     * [[landmarkDistanceQueries]]. */
-  def landmarkBfs(edges: DataFrame, landmarks: Int, maxHops: Int): DataFrame = {
+  def landmarkBfs(edges: DataFrame, landmarks: Int, maxHops: Int, numParts: Int = 0): DataFrame = {
     require(landmarks > 0, s"landmarks must be positive: $landmarks")
-    val sym = symmetrize(edges)
+    val sym = symmetrize(edges, numParts)
     val seeds = sym
       .select(col("src").as("node"))
       .distinct()
@@ -207,8 +214,8 @@ object Centrality {
     * extrapolates by n/k; the raw per-pivot sums are emitted so the
     * consumer's scaling never floors away exactness). Level relations
     * shrink from (nodes × frontier) to (k × frontier). */
-  def betweenness(edges: DataFrame, maxHops: Int = 4, pivots: Int = 0): DataFrame = {
-    val sym = symmetrize(edges)
+  def betweenness(edges: DataFrame, maxHops: Int = 4, pivots: Int = 0, numParts: Int = 0): DataFrame = {
+    val sym = symmetrize(edges, numParts)
     val nodes = sym.select(col("src").as("node")).distinct()
     val sources =
       if (pivots > 0) nodes.orderBy(md5(col("node")), col("node")).limit(pivots)

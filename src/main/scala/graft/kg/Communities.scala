@@ -36,12 +36,15 @@ object Communities {
     *              each pair once with concept_a < concept_b.
     * @return (concept_id, community) after `iterations` synchronous rounds;
     *         community = the adopted label (a concept id). */
-  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int = 4, numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sym = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
       .union(
         edges.select(col("concept_b").as("src"), col("concept_a").as("dst"), col("n_convs").as("w")))
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count() // materialize the static cache in one action
 

@@ -36,10 +36,16 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** localCheckpoint with serialized storage, tracking the cached RDD ids
-    * so the caller can drop the round once its successor is materialized. */
-  private def cpSer(spark: SparkSession, df: DataFrame): (DataFrame, Set[Int]) = {
+    * so the caller can drop the round once its successor is materialized.
+    * `eager = false` truncates the logical plan immediately but defers
+    * materialization to the round's own convergence action (signature /
+    * changed-count), fusing what used to be two jobs per round into one —
+    * LocalRDDCheckpointData fills in any partitions the action's job left
+    * uncomputed before truncating lineage, so the fusion is safe even under
+    * a short-circuiting action. */
+  private def cpSer(spark: SparkSession, df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val out = df.localCheckpoint(eager, StorageLevel.MEMORY_AND_DISK_SER)
     val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
     (out, (after -- before))
   }
@@ -72,19 +78,28 @@ object ConnectedComponents {
     def mat(df: DataFrame): DataFrame = if (skewHardened) {
       val (out, ids) = cpSer(spark, df); matIds ++= ids; out
     } else df
-    val nodes = edges
+    // one lazy checkpoint of the INPUT pair relation: `nodes` and the
+    // canonical edge list both derive from it — without this the (possibly
+    // expensive) upstream edge plan ran twice (r6 profile: dedup_cluster
+    // computed the LSH band-join + verify once for `nodes` and again for
+    // the first round's edge list)
+    val ein = edges
+      .select(col("src"), col("dst"))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = ein
       .select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+      .union(ein.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
 
     // canonical undirected edge list (a < b), self-loops dropped
     var (e, eIds) = cpSer(
       spark,
-      edges
+      ein
         .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
         .where(col("a") =!= col("b"))
-        .distinct())
+        .distinct(),
+      eager = false)
 
     def signature(df: DataFrame): (Long, Long) = {
       // xor-fold: order-independent, overflow-free under ANSI mode (the edge
@@ -120,12 +135,15 @@ object ConnectedComponents {
       relinked.union(selfEdges).distinct()
     }
 
-    var sig = signature(e)
+    var sig = signature(e) // materializes the lazily-checkpointed e (and ein)
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {
       matIds = Set.empty
-      val (next, nextIds) = cpSer(spark, smallStar(largeStar(e)))
+      // lazy checkpoint + signature = ONE job per round (the signature
+      // action materializes the round), vs eager-checkpoint-then-signature's
+      // two — same shuffles, half the per-round scheduling latency
+      val (next, nextIds) = cpSer(spark, smallStar(largeStar(e)), eager = false)
       val nextSig = signature(next)
       // previous round + intra-round skew materializations are fully
       // consumed once `next` is on disk — drop them so the cached working
@@ -207,7 +225,8 @@ object ConnectedComponents {
       und
         .select(col("src").as("node"))
         .distinct()
-        .withColumn("component", col("node")))
+        .withColumn("component", col("node")),
+      eager = false) // materialized by round 1's changed-count job
 
     var iteration = 0
     var converged = false
@@ -222,12 +241,16 @@ object ConnectedComponents {
         .groupBy("node")
         .agg(min("component").as("component"))
 
+      // lazy checkpoint + changed-count = ONE job per round (the count
+      // materializes the round; LocalRDDCheckpointData fills in partitions
+      // the limit short-circuits past before truncating lineage)
       val (updated, updatedIds) = cpSer(
         spark,
         labels
           .union(neighbourMin)
           .groupBy("node")
-          .agg(min("component").as("component")))
+          .agg(min("component").as("component")),
+        eager = false)
 
       val changed = updated
         .join(labels.withColumnRenamed("component", "old"), "node")

@@ -51,10 +51,17 @@ object Hits {
     * @return (node, kind, score_q): kind ∈ ('hub','auth'), hub rows at conv
     *         grain, auth rows at concept grain; fixed-point scale 2^24;
     *         eagerly materialized so the static edge cache can be released. */
-  def run(edges: DataFrame, iterations: Int = 4): DataFrame = {
+  /** @param numParts static-edge-cache partition count — derive from the
+    *   edge count (~500k edges per partition; see SparkEntry.partsFor) so a
+    *   dictionary-sized graph is 1 partition and a corpus-epoch graph fans
+    *   out; 0 = the session shuffle-partition constant (legacy callers). */
+  def run(edges: DataFrame, iterations: Int = 4, numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges
       .select(col("conv_id"), col("concept_id"), col("n_mentions").as("w"))
-      .repartition(col("concept_id"))
+      .repartition(nP, col("concept_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize the static cache once
 
@@ -76,19 +83,29 @@ object Hits {
       // loop doubles the plan tree per HALF-iteration — 2^(2·iters) join
       // stages by the end (measured: 322 s for 4 iterations on a 16k-edge
       // sf0.1 graph, vs ~2 s truncated; the Spark-side twin of the DuckDB
-      // AS MATERIALIZED defense every unrolled oracle here carries)
-      hub = normalized(
-        e.join(auth.hint("SHUFFLE_HASH"), e("concept_id") === auth("node"))
-          .selectExpr("conv_id", "w * s AS t")
-          .groupBy("conv_id")
-          .agg(sum(col("t")).as("raw"))
-          .withColumnRenamed("conv_id", "node")).localCheckpoint()
-      auth = normalized(
-        e.join(hub.hint("SHUFFLE_HASH"), e("conv_id") === hub("node"))
-          .selectExpr("concept_id", "w * s AS t")
-          .groupBy("concept_id")
-          .agg(sum(col("t")).as("raw"))
-          .withColumnRenamed("concept_id", "node")).localCheckpoint()
+      // AS MATERIALIZED defense every unrolled oracle here carries).
+      // The checkpoint sits on the SINGLE-referenced raw sum, not on
+      // normalized's output: checkpointing after `normalized` re-ran the
+      // whole join+aggregate twice per half-iteration (once under the
+      // broadcast max branch, once under the main branch — r6 profile);
+      // with raw materialized, both normalized branches are cheap scans
+      // of the node-sized cached vector.
+      val rawH = e
+        .join(auth.hint("SHUFFLE_HASH"), e("concept_id") === auth("node"))
+        .selectExpr("conv_id", "w * s AS t")
+        .groupBy("conv_id")
+        .agg(sum(col("t")).as("raw"))
+        .withColumnRenamed("conv_id", "node")
+        .localCheckpoint()
+      hub = normalized(rawH)
+      val rawA = e
+        .join(hub.hint("SHUFFLE_HASH"), e("conv_id") === hub("node"))
+        .selectExpr("concept_id", "w * s AS t")
+        .groupBy("concept_id")
+        .agg(sum(col("t")).as("raw"))
+        .withColumnRenamed("concept_id", "node")
+        .localCheckpoint()
+      auth = normalized(rawA)
     }
     val out = auth
       .selectExpr("node", "'auth' AS kind", "s AS score_q")

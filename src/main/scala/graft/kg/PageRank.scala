@@ -63,7 +63,14 @@ object PageRank {
     * @return (concept_id, rank_q) — fixed-point rank, scale 2^32; eagerly
     *         materialized (localCheckpoint) so the static edge/node caches
     *         can be released before returning. */
-  def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  /** @param numParts static-edge-cache partition count — derive from the
+    *   edge count (~500k edges per partition; see SparkEntry.partsFor) so a
+    *   dictionary-sized graph is 1 partition and a corpus-epoch graph fans
+    *   out; 0 = the session shuffle-partition constant (legacy callers). */
+  def run(edges: DataFrame, iterations: Int = 5, numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val symRaw = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
       .union(
@@ -73,7 +80,7 @@ object PageRank {
     // iteration (at 32M directed edges that join dominated the loop)
     val sym = symRaw
       .join(outw, Seq("src"))
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("src").as("node")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count() // materialize both static caches in one action
@@ -119,7 +126,10 @@ object PageRank {
     * partitioned on src, per-iteration exchange is the rank vector only,
     * map-side-combined sums absorb hub fan-in, one lazy DAG. The extra
     * seed comparison is a broadcast of one row. */
-  def personalized(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def personalized(edges: DataFrame, iterations: Int = 5, numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val symRaw = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
       .union(
@@ -127,7 +137,7 @@ object PageRank {
     val outw = symRaw.groupBy("src").agg(sum(col("w")).as("wtot"))
     val sym = symRaw
       .join(outw, Seq("src"))
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("src").as("node")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()

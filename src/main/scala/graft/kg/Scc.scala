@@ -107,15 +107,24 @@ object Scc {
       maxInnerRounds: Int
   ): DataFrame = {
     import spark.implicits._
+    // Job-count discipline (r6): every fixpoint round below runs exactly ONE
+    // Spark job — each round's relation is LAZILY localCheckpointed (logical
+    // plan truncated immediately, physical planning done here under the
+    // constraint-propagation override) and the round's loop-control count is
+    // the action that materializes it. The r5 shape ran 2-3 jobs per round
+    // (eager checkpoint + separate convergence count) — at dictionary grain
+    // that was 175+ driver-bound jobs per SCC run (~10 ms planning gap each,
+    // half the query's wall clock); at production grain the fusion saves the
+    // same per-round scheduling latency without changing any shuffle.
     val e0 = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // eager: the input subtree (digraph build) runs once
     val allNodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var active = allNodes // nodes not yet assigned
     var activeEdges = e0
@@ -130,7 +139,9 @@ object Scc {
         s"SCC coloring did not settle within $maxOuterRounds outer rounds ($activeCount nodes left)")
 
       // ---- forward phase: min reaching id to fixpoint --------------------
-      var color = active.select(col("node"), col("node").as("c")).localCheckpoint()
+      // color starts as a projection of the materialized active set (cheap
+      // on every re-read — no checkpoint needed)
+      var color = active.select(col("node"), col("node").as("c"))
       var changed = 1L
       var inner = 0
       while (changed > 0) {
@@ -142,8 +153,8 @@ object Scc {
           .union(color)
           .groupBy("node")
           .agg(min(col("c")).as("c"))
-          .localCheckpoint()
-        changed = next
+          .localCheckpoint(false)
+        changed = next // this count materializes `next` — the round's one job
           .join(color.withColumnRenamed("c", "c_old"), Seq("node"))
           .where(col("c") =!= col("c_old"))
           .count()
@@ -152,10 +163,14 @@ object Scc {
 
       // ---- backward phase: reverse-BFS from roots inside their color ----
       // seed: the roots themselves (c(r) = r); frontier carries the color,
-      // expansion stays within it, so each reached node's SCC id is its c
-      var reached = color.where(col("node") === col("c")).localCheckpoint()
-      var frontier = reached
-      while (frontier.count() > 0) {
+      // expansion stays within it, so each reached node's SCC id is its c.
+      // `reached` accumulates as a lazy union of the materialized frontier
+      // checkpoints — recomputing it is a cached-block scan, never a join.
+      val roots = color.where(col("node") === col("c"))
+      var reached = roots
+      var frontier = roots
+      var frontierCount = frontier.count()
+      while (frontierCount > 0) {
         val step = frontier
           .join(activeEdges, col("node") === col("dst"))
           .select(col("src").as("node"), col("c"))
@@ -163,20 +178,23 @@ object Scc {
           .where(col("c") === col("c_node")) // stay inside the color class
           .select("node", "c")
           .distinct()
-        frontier = step.join(reached, Seq("node", "c"), "left_anti").localCheckpoint()
-        reached = reached.union(frontier).localCheckpoint()
+        frontier = step.join(reached, Seq("node", "c"), "left_anti").localCheckpoint(false)
+        frontierCount = frontier.count() // materializes the frontier — one job
+        if (frontierCount > 0) reached = reached.union(frontier).localCheckpoint(false)
       }
 
       val newlySettled = reached.select(col("node"), col("c").as("scc_id"))
-      settled = settled.union(newlySettled).localCheckpoint()
-      active = active.join(newlySettled, Seq("node"), "left_anti").localCheckpoint()
+      settled = settled.union(newlySettled).localCheckpoint(false)
+      active = active.join(newlySettled, Seq("node"), "left_anti").localCheckpoint(false)
       activeEdges = activeEdges
         .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint()
-      activeCount = active.count()
+        .localCheckpoint(false)
+      activeCount = active.count() // materializes the new active set
     }
-    settled
+    // consumers (condensation) reference the assignment twice — hand back a
+    // truncated plan whose first action materializes it once
+    settled.localCheckpoint(false)
   }
 }

@@ -38,13 +38,16 @@ object ShortestPaths {
     *              each pair once with concept_a < concept_b.
     * @return (concept_id, dist_q) for every node reachable from the
     *         max-strength seed within `maxHops` edges. */
-  def fromStrongestNode(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+  def fromStrongestNode(edges: DataFrame, maxHops: Int = 3, numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sym = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"), col("n_convs").as("w"))
       .union(
         edges.select(col("concept_b").as("src"), col("concept_a").as("dst"), col("n_convs").as("w")))
       .select(col("src"), col("dst"), expr(s"$CostScale div w").as("cost"))
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 

@@ -44,12 +44,15 @@ object Walks {
     * @param len    steps per walk (emitted rows per walk = len + 1).
     * @return (walk_id, step, node) — the walk corpus, step 0 = the start
     *         node. */
-  def deepWalks(edges: DataFrame, nWalks: Int = 2, len: Int = 4): DataFrame = {
+  def deepWalks(edges: DataFrame, nWalks: Int = 2, len: Int = 4, numParts: Int = 0): DataFrame = {
     require(nWalks > 0 && len > 0, s"nWalks and len must be positive: $nWalks, $len")
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sym = edges
       .select(col("concept_a").as("src"), col("concept_b").as("dst"))
       .union(edges.select(col("concept_b").as("src"), col("concept_a").as("dst")))
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
@@ -117,7 +120,11 @@ object Walks {
       len: Int = 4,
       wReturn: Long = 1L,
       wIn: Long = 1L,
-      wOut: Long = 2L): DataFrame = {
+      wOut: Long = 2L,
+      numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     require(nWalks > 0 && len > 0, s"nWalks and len must be positive: $nWalks, $len")
     require(
       wReturn > 0 && wIn > 0 && wOut > 0,
@@ -132,7 +139,7 @@ object Walks {
       .union(edges.select(col("concept_b").as("src"), col("concept_a").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+      .repartition(nP, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
