@@ -86,7 +86,21 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def mentions(s: SparkSession, dir: String): DataFrame =
     cachedArtifact(mentionsCache, s, dir, "documents")(
-      KgPipeline.mentions(s, dir).toDF().localCheckpoint())
+      compactArtifact(KgPipeline.mentions(s, dir).toDF()))
+
+  /** Materialize a session artifact and, when it lands far below the
+    * session shuffle-partition constant, re-lay it out at a scale-derived
+    * partition count (~500k rows/partition): every consumer scan then
+    * launches a handful of tasks instead of one per original shuffle
+    * partition (a dictionary-grain artifact cached as 128 near-empty
+    * blocks cost each consumer a 128-task scan stage). The production
+    * analog is output file sizing on the artifact write (guide §6); a
+    * corpus-scale artifact keeps its full partitioning. */
+  private def compactArtifact(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val p = partsFor(ck.sparkSession, ck.count())
+    if (p * 2 <= ck.rdd.getNumPartitions) ck.repartition(p).localCheckpoint() else ck
+  }
 
   /** Same posture for the co-occurrence edge list (the KG's weighted edge
     * layer, consumed by PageRank/triangles/communities/k-core/lift/...):
@@ -96,7 +110,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def coEdges(s: SparkSession, dir: String): DataFrame =
     cachedArtifact(coCache, s, dir, "documents")(
-      KgPipeline.cooccurrence(mentions(s, dir)).localCheckpoint())
+      compactArtifact(KgPipeline.cooccurrence(mentions(s, dir))))
 
   /** The strong-edge backbone shared by every distance-based analytic
     * (closeness/eccentricity/betweenness/components/k-core/link-predict):
@@ -112,10 +126,10 @@ object SparkEntry {
     cachedArtifact(backboneCache, s, dir, "documents") {
       val co = coEdges(s, dir)
       val mx = co.agg(max(col("n_convs")).as("mx"))
-      co.join(broadcast(mx))
-        .where(col("n_convs") * 100 >= col("mx") * 85)
-        .select("concept_a", "concept_b")
-        .localCheckpoint()
+      compactArtifact(
+        co.join(broadcast(mx))
+          .where(col("n_convs") * 100 >= col("mx") * 85)
+          .select("concept_a", "concept_b"))
     }
 
   /** Row counts of the materialized graph-layer artifacts — the partition
@@ -158,7 +172,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     cachedArtifact(sigCache, s, dir, "documents")(
-      graft.data.Dedup.minhashSignatures(docs(s, dir), k = 32).localCheckpoint())
+      compactArtifact(graft.data.Dedup.minhashSignatures(docs(s, dir), k = 32)))
 
   /** The IVF codebook is an ingest-time model artifact (nCells centroid
     * rows), not per-query state — build it once per (application, dataset)

@@ -47,6 +47,26 @@ object Dedup {
   def shingles(textCol: String, n: Int = 3): Column =
     shinglesFromTokens(split(col(textCol), " "), n)
 
+  /** Distinct n-gram shingle HASHES from a materialized token-array column:
+    * xxhash64 chained over the n token strings — no n-gram string is ever
+    * built (the concat_ws allocation was the dominant cost of the
+    * string-shingle form) and downstream joins/broadcasts carry 8-byte
+    * longs instead of ~60-char strings (guide §2.3: narrower keys). Tokens
+    * contain no separator (they come from a whitespace split), so the token
+    * tuple ↔ shingle string map is bijective and the hashed distinct/join
+    * semantics match the string form up to 2^-64 collisions. For operators
+    * whose OUTPUT contains the shingle itself keep the string form. */
+  def shingleHashesFromTokens(toks: Column, n: Int = 3): Column =
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => xxhash64((0 until n).map(k => element_at(toks, i + k + 1)): _*)
+        )
+      )
+    ).otherwise(array().cast("array<bigint>"))
+
   /** Near-duplicate pairs by exact word-3-gram Jaccard >= threshold, with
     * prefix blocking (pairs are only compared when their first `blockChars`
     * characters match — the synthetic corpus plants suffix-edited dups, and
@@ -278,7 +298,7 @@ object Dedup {
       .select(col("text"))
       .repartition(evalDocs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(split(col("text"), " ").as("toks"))
-      .select(explode(shinglesFromTokens(col("toks"), n)).as("g"))
+      .select(explode(shingleHashesFromTokens(col("toks"), n)).as("g"))
       .distinct()
     // explode_OUTER, not explode: a plain explode gets an inferred
     // `size(sh) > 0` filter (InferFiltersFromGenerate) which predicate
@@ -304,7 +324,10 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .repartition(nPart)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      // hashed shingles: the n-gram string is never built and the broadcast
+      // membership probe carries longs — overlap counts are identical to
+      // the string form (see shingleHashesFromTokens)
+      .select(col("doc_id"), shingleHashesFromTokens(col("toks"), n).as("sh"))
       // size must be computed BELOW the explode: an expression alongside a
       // generator lands in a Project ABOVE the Generate (ExtractGenerator),
       // which keeps the whole shingle array "required" and copies it into

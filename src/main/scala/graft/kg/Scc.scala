@@ -141,6 +141,11 @@ object Scc {
       // ---- forward phase: min reaching id to fixpoint --------------------
       // color starts as a projection of the materialized active set (cheap
       // on every re-read — no checkpoint needed)
+      // the carry-forward rows are tagged 0, neighbour contributions 1, so
+      // ONE aggregation yields both the new color (min over all) and the
+      // old color (min over tag-0 rows) — the convergence test is then a
+      // filter over the materialized round, not a join back to the
+      // previous color (one fewer join + broadcast build per round)
       var color = active.select(col("node"), col("node").as("c"))
       var changed = 1L
       var inner = 0
@@ -149,16 +154,14 @@ object Scc {
         require(inner <= maxInnerRounds, s"SCC forward phase exceeded $maxInnerRounds rounds")
         val next = color
           .join(activeEdges, col("node") === col("src"))
-          .select(col("dst").as("node"), col("c"))
-          .union(color)
+          .select(col("dst").as("node"), col("c"), lit(1).as("tag"))
+          .union(color.select(col("node"), col("c"), lit(0).as("tag")))
           .groupBy("node")
-          .agg(min(col("c")).as("c"))
+          .agg(min(col("c")).as("c"), min(when(col("tag") === 0, col("c"))).as("c_old"))
           .localCheckpoint(false)
-        changed = next // this count materializes `next` — the round's one job
-          .join(color.withColumnRenamed("c", "c_old"), Seq("node"))
-          .where(col("c") =!= col("c_old"))
-          .count()
-        color = next
+        // this count materializes `next` — the round's one job
+        changed = next.where(col("c") =!= col("c_old")).count()
+        color = next.select(col("node"), col("c"))
       }
 
       // ---- backward phase: reverse-BFS from roots inside their color ----
