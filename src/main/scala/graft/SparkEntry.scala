@@ -837,7 +837,8 @@ object SparkEntry {
       // per shingle per gram position — measured 3-4x the cost of the
       // whole sketch at sf0.1
       def sh(side: DataFrame) =
-        side
+        graft.data.Par
+          .fanOut(side.select(col("text")))
           .select(split(col("text"), " ").as("toks"))
           .select(explode(graft.data.Dedup.shinglesFromTokens(col("toks"))).as("tok"))
       graft.data.Sketches.kmvSetOps(
@@ -1150,7 +1151,8 @@ object SparkEntry {
     // (document-frequency boilerplate audit): bounded Misra-Gries candidate
     // pass + exact verify pass — output is exact despite the sketch
     "data_heavy_hitters" -> ((s, dir) => {
-      val sh = docs(s, dir)
+      val sh = graft.data.Par
+        .fanOut(docs(s, dir).select(col("text")))
         .select(split(col("text"), " ").as("toks"))
         .select(explode(graft.data.Dedup.shinglesFromTokens(col("toks"))).as("shingle"))
       graft.data.HeavyHitters.heavyHitters(sh, "shingle", phi = 5e-5, k = 20000)

@@ -113,7 +113,7 @@ object Dedup {
     * arrays are allocated (an array_min(transform(...)) formulation
     * benchmarked 2x SLOWER from allocation pressure). */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
-    val exploded = docs
+    val exploded = Par.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
@@ -294,9 +294,8 @@ object Dedup {
       n: Int = 8,
       minFrac: Double = 0.3
   ): DataFrame = {
-    val evalSh = evalDocs
-      .select(col("text"))
-      .repartition(evalDocs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val evalSh = Par
+      .fanOut(evalDocs.select(col("text")))
       .select(split(col("text"), " ").as("toks"))
       .select(explode(shingleHashesFromTokens(col("toks"), n)).as("g"))
       .distinct()
@@ -319,10 +318,8 @@ object Dedup {
     // arrives as 1-2 partitions under byte-based splitting — the same
     // pinned-repartition device as verifyJaccard (shuffling raw texts is
     // trivial next to the transform work they fan out to)
-    val nPart = train.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val trainSh = train
-      .select(col("doc_id"), col("text"))
-      .repartition(nPart)
+    val trainSh = Par
+      .fanOut(train.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // hashed shingles: the n-gram string is never built and the broadcast
       // membership probe carries longs — overlap counts are identical to
@@ -477,7 +474,9 @@ object Dedup {
       nBits: Int = 64,
       tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_)
   ): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = Par
+      .fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val withH = toks.withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until nBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
@@ -624,7 +623,7 @@ object Dedup {
     * exploded TokenWindowHashes stream, and the persisted-index row format
     * for the incremental variant. */
   def windowHashRows(docs: DataFrame, width: Int): DataFrame =
-    docs
+    Par.fanOut(docs.select(col("doc_id"), col("text")))
       .select(
         col("doc_id"),
         explode(graft.extract.TokenWindowHashes.tokenWindowHashes(col("text"), width)).as("w")

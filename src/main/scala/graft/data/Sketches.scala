@@ -37,7 +37,7 @@ object Sketches {
   /** @return (bucket, rho_max) register table, ≤ m rows. */
   def hllRegisters(docs: DataFrame, m: Int = 256): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
-    docs
+    Par.fanOut(docs.select(col("text")))
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
       .selectExpr(s"h % $m AS bucket", s"h div $m AS v")
@@ -93,7 +93,7 @@ object Sketches {
     * ever shuffles beyond its counter cells. */
   def cmsCounters(docs: DataFrame, w: Int = 512, d: Int = 4): DataFrame = {
     require(w > 0 && d > 0, s"CMS needs positive dimensions: w=$w d=$d")
-    docs
+    Par.fanOut(docs.select(col("text")))
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(posexplode(array((0 until d).map { j =>
         conv(substring(md5(concat_ws(":", lit(j.toString), col("tok"))), 1, 15), 16, 10)
@@ -143,7 +143,10 @@ object Sketches {
     * representative token per hash is MIN(tok) so collisions (2^−60-rare)
     * stay deterministic. */
   def kmvBottomK(docs: DataFrame, k: Int = 256, distinctEstimate: Option[Double] = None): DataFrame =
-    kmvBottomKOf(docs.select(explode(split(col("text"), " ")).as("tok")), k, distinctEstimate)
+    kmvBottomKOf(
+      Par.fanOut(docs.select(col("text"))).select(explode(split(col("text"), " ")).as("tok")),
+      k,
+      distinctEstimate)
 
   /** [[kmvBottomK]] generalized to an arbitrary ELEMENT relation (one
     * string column `tok`) — the sketched set need not be whitespace

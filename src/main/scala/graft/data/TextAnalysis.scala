@@ -73,7 +73,8 @@ object TextAnalysis {
       reference: DataFrame,
       minCount: Long = 2L
   ): DataFrame = {
-    def bigrams(df: DataFrame) = df
+    def bigrams(df: DataFrame) = Par
+      .fanOut(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2)
       .select(
@@ -121,7 +122,10 @@ object TextAnalysis {
     * occurrences of ONE bigram; past it the guard raises loudly (ANSI-style)
     * instead of wrapping silently into corrupt rankings. */
   def lmTransitionScore(docs: DataFrame): DataFrame = {
-    val bg = docs
+    // the bigram stream feeds THREE consumers (bigram counts, prefix
+    // counts, the scoring join) — materialize once, serialized
+    val bg0 = Par
+      .fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2)
       .select(
@@ -135,6 +139,7 @@ object TextAnalysis {
                 element_at(col("toks"), i + 2).as("w2"))
           )).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bg0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
     val pre = bg.groupBy("w1").agg(count(lit(1)).as("c_pre"))
     val model = big
@@ -171,7 +176,8 @@ object TextAnalysis {
     * and assumed dictionary-scale.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, nBuckets: Int = 512): DataFrame = {
-    def bucketed(df: DataFrame) = df
+    def bucketed(df: DataFrame) = Par
+      .fanOut(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2)
       .select(
@@ -182,14 +188,19 @@ object TextAnalysis {
             i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))
           )).as("g"))
       .select(col("doc_id"), pmod(Dedup.portableTokenHash(col("g")), lit(nBuckets.toLong)).as("bkt"))
+    // the raw-side bucket stream feeds BOTH the histogram and the scoring
+    // pass — materialize once (serialized; 16 B/row) instead of running
+    // the split + bigram-build + md5 twice
+    val rawBuckets = bucketed(raw)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tHist = bucketed(target).groupBy("bkt").agg(count(lit(1)).as("ct"))
-    val rHist = bucketed(raw).groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val rHist = rawBuckets.groupBy("bkt").agg(count(lit(1)).as("cr"))
     val weights = rHist
       .join(tHist, Seq("bkt"), "full")
       .selectExpr(
         "bkt",
         s"((coalesce(ct, 0L) + 1L) * ${1L << 20}L) div (coalesce(cr, 0L) + 1L) AS w_q")
-    bucketed(raw)
+    rawBuckets
       .join(broadcast(weights), Seq("bkt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w_q")).as("score_q"))
@@ -305,9 +316,12 @@ object TextAnalysis {
   def c4Clean(docs: DataFrame, minWords: Int = 3, minKept: Int = 2): DataFrame = {
     val docOk = !contains(lower(col("text")), lit("lorem ipsum")) &&
       !contains(col("text"), lit("{"))
-    val lines = docs
-      .where(docOk)
+    // `lines` feeds the keep filter (itself consumed twice) and the
+    // per-doc totals — materialize once, serialized
+    val lines = Par
+      .fanOut(docs.where(docOk).select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val kept = lines.where(
       size(split(col("line"), " ")) >= minWords && col("line").rlike("[.!?]$"))
     // keeper election: min(struct) partial-aggregates; the join back is on

@@ -138,6 +138,42 @@ object Scc {
         outer <= maxOuterRounds,
         s"SCC coloring did not settle within $maxOuterRounds outer rounds ($activeCount nodes left)")
 
+      // ---- trim phase: a node with no incoming or no outgoing ACTIVE edge
+      // is a singleton SCC (scc_id = itself) — peel those iteratively
+      // before coloring. FW-BW coloring settles only each color root's SCC
+      // per outer round, which degenerates to one-node-per-round on
+      // DAG-like regions (and the implication digraph is mostly acyclic);
+      // trim settles those regions at ONE cheap job per round, eating the
+      // graph from both ends at once, and leaves only the cyclic cores to
+      // the coloring — the published trim-FWBW composition (Slota et al.),
+      // here enacted rather than only cited as the drop-in mitigation.
+      var trimmed = 1L
+      var trimRounds = 0
+      while (trimmed > 0 && activeCount > 0) {
+        trimRounds += 1
+        require(trimRounds <= maxInnerRounds, s"SCC trim phase exceeded $maxInnerRounds rounds")
+        val keep = active
+          .join(activeEdges.select(col("dst").as("node")), Seq("node"), "left_semi")
+          .join(activeEdges.select(col("src").as("node")), Seq("node"), "left_semi")
+          .localCheckpoint(false)
+        val keepCount = keep.count() // materializes the round — its one job
+        trimmed = activeCount - keepCount
+        if (trimmed > 0) {
+          val singles = active
+            .join(keep, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc_id"))
+          settled = settled.union(singles).localCheckpoint(false)
+          active = keep
+          activeEdges = activeEdges
+            .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(false)
+          activeCount = keepCount
+        }
+      }
+      if (activeCount > 0) {
+
       // ---- forward phase: min reaching id to fixpoint --------------------
       // color starts as a projection of the materialized active set (cheap
       // on every re-read — no checkpoint needed)
@@ -195,6 +231,7 @@ object Scc {
         .select("src", "dst")
         .localCheckpoint(false)
       activeCount = active.count() // materializes the new active set
+      } // end cyclic-core FW-BW (skipped when trim finished the graph)
     }
     // consumers (condensation) reference the assignment twice — hand back a
     // truncated plan whose first action materializes it once
