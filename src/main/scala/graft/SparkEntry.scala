@@ -837,8 +837,7 @@ object SparkEntry {
       // per shingle per gram position — measured 3-4x the cost of the
       // whole sketch at sf0.1
       def sh(side: DataFrame) =
-        graft.data.Par
-          .fanOut(side.select(col("text")))
+        side
           .select(split(col("text"), " ").as("toks"))
           .select(explode(graft.data.Dedup.shinglesFromTokens(col("toks"))).as("tok"))
       graft.data.Sketches.kmvSetOps(

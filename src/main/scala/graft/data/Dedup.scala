@@ -623,7 +623,7 @@ object Dedup {
     * exploded TokenWindowHashes stream, and the persisted-index row format
     * for the incremental variant. */
   def windowHashRows(docs: DataFrame, width: Int): DataFrame =
-    Par.fanOut(docs.select(col("doc_id"), col("text")))
+    docs
       .select(
         col("doc_id"),
         explode(graft.extract.TokenWindowHashes.tokenWindowHashes(col("text"), width)).as("w")

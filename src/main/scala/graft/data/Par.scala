@@ -16,13 +16,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Repartition `df` to the session shuffle parallelism iff it currently
-    * has fewer partitions. Call on a narrow projection (the columns the
-    * downstream transform needs), so the conditional shuffle moves only
-    * those bytes. Results are partitioning-independent for every consumer
-    * in this repo (aggregations / joins / sketches). */
+  /** Repartition `df` for CPU-dense work iff it currently has fewer
+    * partitions than the input's own size warrants. The target is derived
+    * from the optimizer's size estimate (~32 KB of input bytes per
+    * partition — transform work per input byte runs ~100x a plain scan's),
+    * clamped to the session shuffle parallelism: a 1.5 MB sf0.1 corpus
+    * fans out to ~20 tasks (not 128 overhead-only ones — measured: conf-
+    * wide fan-out cost more in task scheduling and downstream cached-scan
+    * width than the parallelism won back), a production corpus hits the
+    * clamp, and an already-wide scan is untouched. Call on a narrow
+    * projection so the conditional shuffle moves only the needed bytes.
+    * Results are partitioning-independent for every consumer in this repo
+    * (aggregations / joins / sketches). */
   def fanOut(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < conf) df.repartition(conf) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target =
+      if (bytes > BigInt(conf.toLong * 32768L)) conf
+      else math.max(1, (bytes / 32768).toInt + 1)
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

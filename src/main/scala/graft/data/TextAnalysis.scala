@@ -122,9 +122,7 @@ object TextAnalysis {
     * occurrences of ONE bigram; past it the guard raises loudly (ANSI-style)
     * instead of wrapping silently into corrupt rankings. */
   def lmTransitionScore(docs: DataFrame): DataFrame = {
-    // the bigram stream feeds THREE consumers (bigram counts, prefix
-    // counts, the scoring join) — materialize once, serialized
-    val bg0 = Par
+    val bg = Par
       .fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2)
@@ -139,7 +137,6 @@ object TextAnalysis {
                 element_at(col("toks"), i + 2).as("w2"))
           )).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bg = bg0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
     val pre = bg.groupBy("w1").agg(count(lit(1)).as("c_pre"))
     val model = big
