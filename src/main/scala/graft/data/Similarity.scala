@@ -736,8 +736,19 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("e0"))
       .select(col("vec_id"), col("e0"), norm(col("e0")).as("nm"))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nm")).as("e"))
+    // loud guard (r5 ADVICE): integer division would silently drop the
+    // trailing dim % m dimensions from every slice — codes and recall would
+    // quietly degrade instead of failing
     val subDim = size(col("e")) / m
-    v.select(
+    val guarded = v.select(
+      col("vec_id"),
+      when(
+        size(col("e")) % m === 0,
+        col("e")
+      ).otherwise(raise_error(concat(
+        lit(s"pqSubvectors: embedding dim "), size(col("e")).cast("string"),
+        lit(s" is not divisible by m=$m subspaces")))).as("e"))
+    guarded.select(
       col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)), s => slice(col("e"), s * subDim + 1, subDim))))
       .select(col("vec_id"), col("pos").cast("int").as("s"), col("col").as("sv"))

@@ -167,13 +167,24 @@ object Walks {
       .select(col("walk_id"), lit(0).as("step"), col("node"))
       .union(frontier.select(col("walk_id"), lit(1).as("step"), col("node")))
 
+    // the distance-1 classifier probe joins on (prev, cand): a SECOND static
+    // cache of the same edges partitioned on that pair key, built once, so
+    // no step re-exchanges the edge relation on a key it is not stored
+    // under (at corpus-epoch edge counts the per-step edge re-shuffle was
+    // the dominant loop cost; the walk side stays the only moving relation)
+    val symPair = sym
+      .select(col("src").as("prev"), col("dst").as("cand"), lit(1).as("is_in"))
+      .repartition(nP, col("prev"), col("cand"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    symPair.count()
+
     val byWalk = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
     val cumWin = byWalk.orderBy("cand")
     for (t <- 2 to len) {
       val cand = sym
         .join(frontier.hint("SHUFFLE_HASH"), sym("src") === frontier("node"))
         .select(col("walk_id"), col("prev"), col("node").as("cur"), col("dst").as("cand"))
-      val inProbe = sym.select(col("src").as("prev"), col("dst").as("cand"), lit(1).as("is_in"))
+      val inProbe = symPair
       val weighted = cand
         .join(inProbe, Seq("prev", "cand"), "left")
         .select(
@@ -202,6 +213,7 @@ object Walks {
     }
     val out = corpus.localCheckpoint()
     sym.unpersist(false)
+    symPair.unpersist(false)
     out
   }
 
