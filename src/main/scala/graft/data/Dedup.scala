@@ -175,7 +175,12 @@ object Dedup {
     // hash set — measured 25 us -> ~2 us per ~55-shingle pair; the union
     // size follows by inclusion-exclusion, so the jaccard values (and the
     // DuckDB oracle parity) are identical
-    val sh = docs
+    // fan the candidate shingle+sort build out before the broadcast semi
+    // probe: the pruned doc set arrives as one byte-based split and the
+    // array_sort(shingles) construction ran single-core (r6 profile:
+    // 0.57 s single-task stage in dedup_minhash)
+    val sh = Par
+      .fanOut(docs.select(col("doc_id"), col("text")))
       .join(if (broadcastCandidates) broadcast(candIds) else candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_sort(shinglesFromTokens(col("toks"))).as("sh"))
@@ -435,8 +440,14 @@ object Dedup {
   ): DataFrame = {
     val bitset = bloom.getOrElse(buildBloom(corpus, mBits, k))
     val might = bloomMightContain(col("text"), bitset, k)
-    val definiteNew = batch.where(!might)
-    val candidates = batch.where(might)
+    // evaluate the probe ONCE per batch row and materialize the flag: the
+    // definite-new and candidate branches both referenced `might`, so the
+    // bitset literal (m/64 longs) rode the plan twice and every row paid
+    // the k hash probes twice — ~0.8 s of driver planning gaps at sf0.1
+    // came from optimizing the duplicated literal subtrees alone
+    val flagged = batch.withColumn("__might", might).localCheckpoint(false)
+    val definiteNew = flagged.where(!col("__might")).drop("__might")
+    val candidates = flagged.where(col("__might")).drop("__might")
     // verify: candidates ANTI JOIN corpus on text. Joined naively this
     // shuffles the 100 TB corpus to verify a batch-sized candidate set —
     // so first prune the corpus scan MAP-SIDE with a broadcast of the

@@ -317,7 +317,10 @@ object Similarity {
       preCents: Option[Seq[(Int, Seq[Double])]] = None
   ): DataFrame = {
     val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
-    val vdf = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // fan out the cell-scoring pass (nCells cosines per vector over a
+    // single-split parquet input; no-op at corpus scale)
+    val vdf = Par.fanOut(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     if (cents.size <= LiteralCellCap)
       vdf.select(
         col("vec_id"),
@@ -389,7 +392,8 @@ object Similarity {
       preCents: Option[Seq[(Int, Seq[Double])]] = None
   ): DataFrame = {
     val cents = preCents.getOrElse(ivfCentroids(emb, nCells))
-    val vdf = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val vdf = Par.fanOut(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     if (cents.size <= LiteralCellCap)
       vdf
         .select(col("vec_id"), explode(nearest(col("v"), cents, nProbe)).as("p"))
@@ -732,7 +736,8 @@ object Similarity {
   private[graft] def pqSubvectors(emb: DataFrame, m: Int): DataFrame = {
     // norm hoisted per vector (one dot, not dim dots); value identical to
     // the inline form, so the oracle's per-element expression matches
-    val v = emb
+    val v = Par
+      .fanOut(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), asDouble(col("embedding")).as("e0"))
       .select(col("vec_id"), col("e0"), norm(col("e0")).as("nm"))
       .select(col("vec_id"), transform(col("e0"), x => x / col("nm")).as("e"))
