@@ -69,8 +69,13 @@ object Scc {
     * up into. Cost on top of [[run]]: two dictionary-grain joins + one
     * distinct. */
   def condensation(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val scc = run(spark, edges)
-    edges
+    // one lazy checkpoint of the input: `run` materializes it while building
+    // its own edge relation, and the two endpoint joins below then read the
+    // cache instead of re-running the (possibly expensive) digraph plan —
+    // the kg_condensation query recomputed the marginals joins post-SCC
+    val ein = edges.localCheckpoint(false)
+    val scc = run(spark, ein)
+    ein
       .join(scc.select(col("node").as("src"), col("scc_id").as("scc_src")), Seq("src"))
       .join(scc.select(col("node").as("dst"), col("scc_id").as("scc_dst")), Seq("dst"))
       .where(col("scc_src") =!= col("scc_dst"))
