@@ -188,8 +188,12 @@ object ConnectedComponents {
       newEdges: DataFrame,
       maxIterations: Int = 30
   ): DataFrame = {
-    val exSrc = existing.select(col("node").as("src"), col("component").as("src_comp"))
-    val exDst = existing.select(col("node").as("dst"), col("component").as("dst_comp"))
+    // the existing assignment is consumed FOUR times below (both contraction
+    // sides, the remap join, the new-node anti-join) — materialize it once
+    // lazily instead of re-running its plan per consumer
+    val ex = existing.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val exSrc = ex.select(col("node").as("src"), col("component").as("src_comp"))
+    val exDst = ex.select(col("node").as("dst"), col("component").as("dst_comp"))
     val contracted = newEdges
       .join(exSrc, Seq("src"), "left")
       .join(exDst, Seq("dst"), "left")
@@ -200,10 +204,10 @@ object ConnectedComponents {
     // delta nodes are old representatives + brand-new nodes; feeds two
     // consumers (remap + new-node split), so materialize once
     val delta = run(spark, contracted, maxIterations).localCheckpoint(false)
-    val remapped = existing
+    val remapped = ex
       .join(delta.select(col("node").as("component"), col("component").as("merged")), Seq("component"), "left")
       .select(col("node"), coalesce(col("merged"), col("component")).as("component"))
-    val newNodes = delta.join(existing.select("node"), Seq("node"), "left_anti")
+    val newNodes = delta.join(ex.select("node"), Seq("node"), "left_anti")
     remapped.unionByName(newNodes.select("node", "component"))
   }
 
